@@ -1,0 +1,140 @@
+"""The Incidence pytree: static-shape sparse hypergraph for TPU.
+
+The reference stores a hypergraph as a dynamic-length ``2 x nnz`` torch
+LongTensor (star-expansion bipartite edge list, documented at reference
+``src/load_other_datasets.py:122-125`` and consumed by ``SetGNN.forward``
+at ``src/models.py:450-456``). That representation is re-designed here for
+XLA's static-shape compilation model:
+
+  * node ids and hyperedge ids live in **separate 0-based id spaces**
+    (the reference offsets hyperedge ids by num_nodes and rebases them
+    in-place every forward at ``src/models.py:453-454``; we do it once,
+    on the host, at construction).
+  * the nnz axis is **padded to a bucket** (multiple of 256 by default) so
+    that adding self-loops / re-normalizing never triggers re-compilation
+    and tiles map cleanly onto the 8x128 VPU lanes.
+  * padded entries carry ``node == num_nodes`` and ``edge == num_edges``
+    (out-of-range, dropped by XLA scatter) and ``norm == 0``.
+  * entries are canonically **sorted by hyperedge id** (the V2E segment
+    axis); the E2V direction reuses the same entry order with roles
+    swapped, so a learned per-entry mask (LearnMask,
+    ``src/models.py:336-337,451-452``) is consistent across directions.
+
+An Incidence is a pytree: it can be donated to jit, sharded with
+``jax.sharding``, and carried through ``lax`` control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def pad_bucket(n: int, bucket: int = 256) -> int:
+    """Round nnz up to a bucket so shapes stay static across small edits."""
+    if bucket <= 0:
+        return n
+    return max(bucket, ((n + bucket - 1) // bucket) * bucket)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Incidence:
+    """Padded COO incidence of a hypergraph.
+
+    node[i], edge[i] — the i-th (node, hyperedge) incidence entry, 0-based
+    in their own id spaces. norm[i] — per-entry weight (``data.norm`` of the
+    reference, ``src/preprocessing.py:451-464``); 0 at padded entries, so it
+    doubles as the float mask. mask[i] — boolean validity.
+
+    num_nodes / num_edges / nnz are static (not traced): python ints fixed
+    at construction.
+    """
+
+    node: Array  # i32[nnz_pad]
+    edge: Array  # i32[nnz_pad]
+    norm: Array  # f32[nnz_pad]
+    mask: Array  # bool[nnz_pad]
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nnz_padded(self) -> int:
+        return self.node.shape[0]
+
+    @classmethod
+    def from_arrays(
+        cls,
+        node: np.ndarray,
+        edge: np.ndarray,
+        norm: Optional[np.ndarray] = None,
+        num_nodes: Optional[int] = None,
+        num_edges: Optional[int] = None,
+        bucket: int = 256,
+        sort_by_edge: bool = True,
+    ) -> "Incidence":
+        """Build from host-side numpy COO (unpadded, 0-based id spaces)."""
+        node = np.asarray(node, dtype=np.int32)
+        edge = np.asarray(edge, dtype=np.int32)
+        if node.shape != edge.shape or node.ndim != 1:
+            raise ValueError("node/edge must be 1-D and equal length")
+        nnz = int(node.shape[0])
+        if num_nodes is None:
+            num_nodes = int(node.max()) + 1 if nnz else 0
+        if num_edges is None:
+            num_edges = int(edge.max()) + 1 if nnz else 0
+        if norm is None:
+            norm = np.ones(nnz, dtype=np.float32)
+        norm = np.asarray(norm, dtype=np.float32)
+
+        if sort_by_edge and nnz:
+            # stable sort: canonical segment order for the V2E direction
+            order = np.argsort(edge, kind="stable")
+            node, edge, norm = node[order], edge[order], norm[order]
+
+        npad = pad_bucket(nnz, bucket)
+        pad = npad - nnz
+        if pad:
+            node = np.concatenate([node, np.full(pad, num_nodes, dtype=np.int32)])
+            edge = np.concatenate([edge, np.full(pad, num_edges, dtype=np.int32)])
+            norm = np.concatenate([norm, np.zeros(pad, dtype=np.float32)])
+        mask = np.arange(npad) < nnz
+
+        return cls(
+            node=jnp.asarray(node),
+            edge=jnp.asarray(edge),
+            norm=jnp.asarray(norm),
+            mask=jnp.asarray(mask),
+            num_nodes=int(num_nodes),
+            num_edges=int(num_edges),
+            nnz=nnz,
+        )
+
+    def with_norm(self, norm: Array) -> "Incidence":
+        """Replace the per-entry norm (e.g. LearnMask Importance * norm)."""
+        return dataclasses.replace(self, norm=norm)
+
+    # --- degree helpers (host-free, jittable) ---
+
+    def node_degree(self) -> Array:
+        """d_v: number of hyperedges each node sits in. [num_nodes]"""
+        return jax.ops.segment_sum(
+            self.norm_ones(), self.node, num_segments=self.num_nodes
+        )
+
+    def edge_degree(self) -> Array:
+        """d_e: hyperedge cardinalities. [num_edges]"""
+        return jax.ops.segment_sum(
+            self.norm_ones(), self.edge, num_segments=self.num_edges,
+            indices_are_sorted=True,
+        )
+
+    def norm_ones(self) -> Array:
+        return self.mask.astype(jnp.float32)

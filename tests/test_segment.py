@@ -1,0 +1,138 @@
+"""Unit tests for the segment primitives against dense numpy oracles
+(SURVEY.md §4 implication (1))."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from allset_tpu.ops import (
+    propagate,
+    segment_max,
+    segment_mean,
+    segment_softmax,
+    segment_sum,
+)
+
+
+def dense_oracle(data, seg, num_segments, reduce):
+    """Dense reference: route entries into buckets in python."""
+    out = np.zeros((num_segments,) + data.shape[1:], dtype=np.float64)
+    counts = np.zeros(num_segments)
+    if reduce == "max":
+        filled = np.zeros(num_segments, dtype=bool)
+        for d, s in zip(data, seg):
+            if s >= num_segments:
+                continue
+            out[s] = np.maximum(out[s], d) if filled[s] else d
+            filled[s] = True
+        return out
+    for d, s in zip(data, seg):
+        if s >= num_segments:
+            continue
+        out[s] += d
+        counts[s] += 1
+    if reduce == "mean":
+        out /= np.maximum(counts, 1)[:, None] if out.ndim > 1 else np.maximum(counts, 1)
+    return out
+
+
+@pytest.mark.parametrize("reduce", ["add", "mean", "max"])
+@pytest.mark.parametrize("sorted_ids", [True, False])
+def test_segment_reduce_matches_oracle(rng, reduce, sorted_ids):
+    nnz, m, f = 200, 17, 8
+    seg = rng.integers(0, m, size=nnz)
+    if sorted_ids:
+        seg = np.sort(seg)
+    # append out-of-range padding entries: must be dropped
+    seg = np.concatenate([seg, np.full(16, m)])
+    data = rng.normal(size=(len(seg), f)).astype(np.float32)
+
+    fn = {"add": segment_sum, "mean": segment_mean, "max": segment_max}[reduce]
+    got = fn(jnp.asarray(data), jnp.asarray(seg), m, indices_are_sorted=sorted_ids)
+    want = dense_oracle(data, seg, m, reduce)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_empty_segments(rng):
+    seg = np.array([0, 0, 5])
+    data = np.ones((3, 2), dtype=np.float32)
+    got = np.asarray(segment_sum(jnp.asarray(data), jnp.asarray(seg), 7))
+    assert got[0].sum() == 4.0
+    assert got[5].sum() == 2.0
+    assert got[[1, 2, 3, 4, 6]].sum() == 0.0
+
+
+def test_segment_softmax_matches_oracle(rng):
+    nnz, m, h = 120, 11, 4
+    seg = np.sort(rng.integers(0, m, size=nnz))
+    scores = rng.normal(size=(nnz, h)).astype(np.float32) * 5
+
+    got = np.asarray(
+        segment_softmax(jnp.asarray(scores), jnp.asarray(seg), m, indices_are_sorted=True)
+    )
+    # oracle per segment per head
+    for s in range(m):
+        rows = np.where(seg == s)[0]
+        if len(rows) == 0:
+            continue
+        for head in range(h):
+            e = np.exp(scores[rows, head] - scores[rows, head].max())
+            np.testing.assert_allclose(got[rows, head], e / e.sum(), rtol=1e-5)
+    # per-segment probabilities sum to 1
+    sums = dense_oracle(got, seg, m, "add")
+    present = np.unique(seg)
+    np.testing.assert_allclose(sums[present], 1.0, rtol=1e-5)
+
+
+def test_segment_softmax_mask_zeroes_padding(rng):
+    nnz, m = 40, 5
+    seg = np.concatenate([np.sort(rng.integers(0, m, size=nnz)), np.full(8, m)])
+    mask = np.arange(len(seg)) < nnz
+    scores = rng.normal(size=(len(seg),)).astype(np.float32)
+    got = np.asarray(
+        segment_softmax(jnp.asarray(scores), jnp.asarray(seg), m, mask=jnp.asarray(mask))
+    )
+    assert np.all(got[nnz:] == 0.0)
+    assert np.all(np.isfinite(got))
+    sums = dense_oracle(got, seg, m, "add")
+    np.testing.assert_allclose(sums[np.unique(seg[:nnz])], 1.0, rtol=1e-5)
+
+
+def test_segment_softmax_all_masked_segment_is_finite():
+    # a segment whose entries are ALL masked must produce zeros, not NaN
+    seg = np.array([0, 0, 1, 1])
+    mask = np.array([True, True, False, False])
+    scores = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float32)
+    got = np.asarray(segment_softmax(jnp.asarray(scores), jnp.asarray(seg), 2, mask=jnp.asarray(mask)))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[2:], 0.0)
+
+
+def test_propagate_matches_dense_spmm(rng):
+    """propagate == SpMM with the COO incidence (the hot op)."""
+    n, m, f, nnz = 30, 12, 16, 150
+    src = rng.integers(0, n, size=nnz)
+    dst = rng.integers(0, m, size=nnz)
+    norm = rng.normal(size=nnz).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+
+    got = np.asarray(
+        propagate(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), jnp.asarray(norm), m, "add")
+    )
+    A = np.zeros((m, n), dtype=np.float64)
+    for s, d, w in zip(src, dst, norm):
+        A[d, s] += w
+    np.testing.assert_allclose(got, A @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_propagate_padding_dropped(rng):
+    n, m, f = 10, 4, 3
+    src = np.array([0, 1, n])  # last is padding (clamped gather)
+    dst = np.array([0, 1, m])  # OOB -> dropped
+    norm = np.array([1.0, 1.0, 0.0], dtype=np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    got = np.asarray(propagate(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), jnp.asarray(norm), m, "add"))
+    np.testing.assert_allclose(got[0], x[0], rtol=1e-6)
+    np.testing.assert_allclose(got[1], x[1], rtol=1e-6)
+    np.testing.assert_allclose(got[2:], 0.0)
