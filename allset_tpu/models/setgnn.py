@@ -1,0 +1,173 @@
+"""SetGNN: the AllSet model (AllSetTransformer / AllDeepSets).
+
+Reference ``src/models.py:295-484``. ``All_num_layers`` rounds of two-stage
+multiset aggregation — V->E then E->V over the bipartite incidence — each
+stage a learnable multiset function (HalfNLHconv), then an MLP classifier.
+
+Config rules (mirroring the reference factory ``src/train.py:30-42``):
+  * pma=True                       -> AllSetTransformer
+  * pma=False and aggregate='add'  -> AllDeepSets
+  * gpr: stack per-layer outputs, learn scalar mixing weights
+    (``src/models.py:389-397,457-471``)
+  * learn_mask: learnable per-incidence-entry importance multiplied into
+    norm (``src/models.py:336-337,451-452``)
+  * fixed input dropout p=0.2 in the non-GPR path (``src/models.py:473``)
+  * BatchNorms bnV2Es/bnE2Vs exist in the reference but are commented out
+    of its forward (``src/models.py:462,476``) — not re-created here.
+
+TPU notes: both directions run over the same canonically-ordered entry
+list (V2E segment-sorted); E2V reuses it with roles swapped, so LearnMask
+importance stays entry-consistent and no permutation is materialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from allset_tpu.graph.incidence import Incidence
+from allset_tpu.nn.modules import MLP, HalfNLHconv, TorchDense
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SetGNNConfig:
+    """Hyperparameters of SetGNN; field names follow the reference CLI
+    flags (``src/train.py:221-287``) with pythonic casing."""
+
+    num_features: int
+    num_classes: int
+    all_num_layers: int = 2
+    mlp_num_layers: int = 2
+    mlp_hidden: int = 64
+    classifier_num_layers: int = 2
+    classifier_hidden: int = 64
+    heads: int = 1
+    dropout: float = 0.5
+    aggregate: str = "mean"  # 'add' | 'mean' ('sum' == 'add')
+    normalization: str = "ln"
+    deepset_input_norm: bool = True
+    pma: bool = True
+    gpr: bool = False
+    learn_mask: bool = False
+
+    @classmethod
+    def all_deep_sets(cls, **kw) -> "SetGNNConfig":
+        """The AllDeepSets factory override (``src/train.py:37-38``)."""
+        kw.update(pma=False, aggregate="add")
+        return cls(**kw)
+
+
+class SetGNN(nn.Module):
+    cfg: SetGNNConfig
+
+    def _half_conv(self, in_is_first: bool, name: str) -> HalfNLHconv:
+        c = self.cfg
+        return HalfNLHconv(
+            hid_dim=c.mlp_hidden,
+            out_dim=c.mlp_hidden,
+            num_layers=c.mlp_num_layers,
+            dropout=c.dropout,
+            normalization=c.normalization,
+            input_norm=c.deepset_input_norm,
+            heads=c.heads,
+            attention=c.pma,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, x: Array, inc: Incidence, train: bool = False) -> Array:
+        c = self.cfg
+        norm = inc.norm
+        if c.learn_mask:
+            importance = self.param(
+                "importance", nn.initializers.ones, (inc.nnz_padded,)
+            )
+            norm = importance * norm
+
+        if c.all_num_layers == 0:
+            return MLP(
+                hidden_channels=c.classifier_hidden,
+                out_channels=c.num_classes,
+                num_layers=c.classifier_num_layers,
+                dropout=c.dropout,
+                normalization=c.normalization,
+                input_norm=False,
+                name="classifier",
+            )(x, train)
+
+        classifier = MLP(
+            hidden_channels=c.classifier_hidden,
+            out_channels=c.num_classes,
+            num_layers=c.classifier_num_layers,
+            dropout=c.dropout,
+            normalization=c.normalization,
+            input_norm=False,
+            name="classifier",
+        )
+
+        def v2e(i, h):
+            return self._half_conv(i == 0, f"V2E_{i}")(
+                h,
+                src=inc.node,
+                dst=inc.edge,
+                norm=norm,
+                num_segments=inc.num_edges,
+                mask=inc.mask,
+                aggr=c.aggregate,
+                train=train,
+                indices_are_sorted=True,  # canonical order sorts by edge id
+            )
+
+        def e2v(i, h):
+            return self._half_conv(False, f"E2V_{i}")(
+                h,
+                src=inc.edge,
+                dst=inc.node,
+                norm=norm,
+                num_segments=inc.num_nodes,
+                mask=inc.mask,
+                aggr=c.aggregate,
+                train=train,
+                indices_are_sorted=False,
+            )
+
+        drop = nn.Dropout(c.dropout)
+
+        if c.gpr:
+            xs = [
+                nn.relu(
+                    MLP(
+                        hidden_channels=c.mlp_hidden,
+                        out_channels=c.mlp_hidden,
+                        num_layers=c.mlp_num_layers,
+                        dropout=c.dropout,
+                        normalization=c.normalization,
+                        input_norm=False,
+                        name="gpr_mlp",
+                    )(x, train)
+                )
+            ]
+            h = x
+            for i in range(c.all_num_layers):
+                h = nn.relu(v2e(i, h))
+                h = drop(h, deterministic=not train)
+                h = nn.relu(e2v(i, h))
+                xs.append(h)
+                h = drop(h, deterministic=not train)
+            stacked = jnp.stack(xs, axis=-1)  # [N, hid, L+1]
+            weights = TorchDense(1, use_bias=False, name="GPRweights")
+            h = weights(stacked).squeeze(-1)
+            return classifier(h, train)
+
+        h = nn.Dropout(0.2)(x, deterministic=not train)  # fixed input dropout
+        for i in range(c.all_num_layers):
+            h = nn.relu(v2e(i, h))
+            h = drop(h, deterministic=not train)
+            h = nn.relu(e2v(i, h))
+            h = drop(h, deterministic=not train)
+        return classifier(h, train)

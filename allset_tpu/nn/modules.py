@@ -1,0 +1,245 @@
+"""Core neural modules: MLP, PMA (attention pooling), HalfNLHconv.
+
+These are the building blocks of the SetGNN family (reference
+``src/layers.py``), re-expressed as flax.linen modules over the segment
+primitives of ``allset_tpu.ops``. Math and init follow the reference
+exactly (per-layer allclose parity is tested in
+``tests/test_parity_setgnn.py``); the execution model is pure-functional
+and jit-compiled end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from allset_tpu.nn.init import (
+    glorot_uniform,
+    torch_linear_bias,
+    torch_linear_kernel,
+    xavier_uniform_torch_fans,
+)
+from allset_tpu.ops import (
+    gather_rows,
+    segment_reduce,
+    segment_softmax,
+    segment_sum,
+)
+
+Array = jax.Array
+
+LN_EPS = 1e-5  # torch LayerNorm default
+BN_MOMENTUM = 0.9  # flax momentum == 1 - torch momentum (torch default 0.1)
+
+
+class TorchDense(nn.Module):
+    """Dense layer with torch ``nn.Linear`` default init:
+    weight and bias ~ U(±1/sqrt(fan_in))."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        fan_in = x.shape[-1]
+        kinit = self.kernel_init if self.kernel_init is not None else torch_linear_kernel()
+        kernel = self.param("kernel", kinit, (fan_in, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", torch_linear_bias(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+class NormLayer(nn.Module):
+    """'bn' | 'ln' | 'None' normalization (reference MLP's per-layer
+    normalizations, ``src/layers.py:506-560``)."""
+
+    kind: str
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool) -> Array:
+        if self.kind == "bn":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=LN_EPS,
+            )(x)
+        if self.kind == "ln":
+            return nn.LayerNorm(epsilon=LN_EPS)(x)
+        if self.kind in ("None", "none", None):
+            return x
+        raise ValueError(f"unknown normalization {self.kind!r}")
+
+
+class MLP(nn.Module):
+    """N-layer MLP with per-layer normalization, ReLU, dropout; optional
+    InputNorm; 1 layer degenerates to a linear classifier.
+
+    Mirrors reference ``MLP`` (``src/layers.py:496-579``): input-norm (or
+    identity) first, then for each hidden layer lin -> relu -> norm ->
+    dropout, then the final linear.
+    """
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int
+    dropout: float = 0.5
+    normalization: str = "bn"
+    input_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if self.input_norm:
+            x = NormLayer(self.normalization, name="input_norm")(x, train)
+        for i in range(self.num_layers - 1):
+            x = TorchDense(self.hidden_channels, name=f"lin{i}")(x)
+            x = nn.relu(x)
+            x = NormLayer(self.normalization, name=f"norm{i}")(x, train)
+            x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = TorchDense(self.out_channels, name=f"lin{self.num_layers - 1}")(x)
+        return x
+
+
+class PMA(nn.Module):
+    """Pooling by Multihead Attention with a learned seed vector per head.
+
+    Set-Transformer-style pooling of each destination segment's multiset
+    (reference ``src/layers.py:42-199``):
+
+      x_K = lin_K(x); x_V = lin_V(x)                 (glorot weights)
+      alpha = (x_K * att_r).sum(-1)                  seed-key scores [N, H]
+      per-segment softmax(leaky_relu(alpha, 0.2))    over entries by dst
+      out  = segment-sum(alpha * x_V) + att_r        seed residual
+      out  = ln1(z + relu(rFF(z))),  z = ln0(concat-heads(out))
+
+    Heads split the hidden dim: C = hid_dim // heads; aggregation is
+    hard-coded 'add' and attention dropout 0 (``src/layers.py:63-64``).
+    """
+
+    hid_dim: int
+    out_dim: int
+    num_layers: int
+    heads: int = 1
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        src: Array,
+        dst: Array,
+        num_segments: int,
+        mask: Array,
+        train: bool = False,
+        indices_are_sorted: bool = False,
+    ) -> Array:
+        H = self.heads
+        C = self.hid_dim // H
+
+        x_K = TorchDense(H * C, kernel_init=glorot_uniform(), name="lin_K")(x)
+        x_V = TorchDense(H * C, kernel_init=glorot_uniform(), name="lin_V")(x)
+        x_K = x_K.reshape(-1, H, C)
+        x_V = x_V.reshape(-1, H, C)
+
+        att_r = self.param("att_r", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
+        alpha = (x_K * att_r).sum(axis=-1)  # [N, H]
+
+        a_j = gather_rows(alpha, src)  # [nnz, H]
+        x_j = gather_rows(x_V, src)  # [nnz, H, C]
+        a_j = nn.leaky_relu(a_j, self.negative_slope)
+        a_j = segment_softmax(
+            a_j, dst, num_segments, mask=mask, indices_are_sorted=indices_are_sorted
+        )
+        out = segment_sum(
+            x_j * a_j[..., None], dst, num_segments, indices_are_sorted=indices_are_sorted
+        )  # [M, H, C]
+
+        out = out + att_r  # seed + multihead (src/layers.py:153)
+        out = nn.LayerNorm(epsilon=LN_EPS, name="ln0")(out.reshape(-1, H * C))
+        rff = MLP(
+            hidden_channels=H * C,
+            out_channels=self.out_dim,
+            num_layers=self.num_layers,
+            dropout=0.0,
+            normalization="None",
+            name="rFF",
+        )
+        out = nn.LayerNorm(epsilon=LN_EPS, name="ln1")(out + nn.relu(rff(out, train)))
+        return out
+
+
+class HalfNLHconv(nn.Module):
+    """One directed half-layer of multiset message passing
+    (reference ``src/layers.py:582-656``).
+
+    attention=True  -> PMA pooling (AllSetTransformer half-layer)
+    attention=False -> Deep Sets rho(sum phi(x)): relu(f_enc MLP) ->
+                       dropout -> propagate(norm, aggr) -> relu(f_dec MLP).
+                       With num_layers == 0 the MLPs are identity but the
+                       relus remain (faithful to ``src/layers.py:631-634``).
+    """
+
+    hid_dim: int
+    out_dim: int
+    num_layers: int
+    dropout: float = 0.5
+    normalization: str = "ln"
+    input_norm: bool = False
+    heads: int = 1
+    attention: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        src: Array,
+        dst: Array,
+        norm: Array,
+        num_segments: int,
+        mask: Array,
+        aggr: str = "add",
+        train: bool = False,
+        indices_are_sorted: bool = False,
+    ) -> Array:
+        if self.attention:
+            return PMA(
+                hid_dim=self.hid_dim,
+                out_dim=self.out_dim,
+                num_layers=self.num_layers,
+                heads=self.heads,
+                name="prop",
+            )(x, src, dst, num_segments, mask, train, indices_are_sorted)
+
+        if self.num_layers > 0:
+            x = MLP(
+                hidden_channels=self.hid_dim,
+                out_channels=self.hid_dim,
+                num_layers=self.num_layers,
+                dropout=self.dropout,
+                normalization=self.normalization,
+                input_norm=self.input_norm,
+                name="f_enc",
+            )(x, train)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        msgs = gather_rows(x, src) * norm[:, None].astype(x.dtype)
+        x = segment_reduce(
+            msgs, dst, num_segments, reduce=aggr, indices_are_sorted=indices_are_sorted
+        )
+        if self.num_layers > 0:
+            x = MLP(
+                hidden_channels=self.hid_dim,
+                out_channels=self.out_dim,
+                num_layers=self.num_layers,
+                dropout=self.dropout,
+                normalization=self.normalization,
+                input_norm=self.input_norm,
+                name="f_dec",
+            )(x, train)
+        x = nn.relu(x)
+        return x
