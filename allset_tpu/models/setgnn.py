@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from allset_tpu.graph.incidence import Incidence
+from allset_tpu.graph.batch import Batch
 from allset_tpu.nn.modules import MLP, HalfNLHconv, TorchDense
 
 Array = jax.Array
@@ -80,8 +80,9 @@ class SetGNN(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x: Array, inc: Incidence, train: bool = False) -> Array:
+    def __call__(self, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
+        x, inc = batch.x, batch.inc
         norm = inc.norm
         if c.learn_mask:
             importance = self.param(

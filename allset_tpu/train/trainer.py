@@ -1,0 +1,238 @@
+"""Full-batch trainer: whole runs compiled as single XLA programs.
+
+The reference training loop (``src/train.py:458-499``) is a host-side
+python loop — per epoch: full-batch forward, NLL loss on the train split,
+backward, Adam step, then a second full forward for evaluation
+(``src/train.py:474-487``), repeated sequentially for each of ``runs``
+random splits.
+
+TPU-first redesign:
+  * one **epoch** = one fused XLA step (train fwd+bwd+Adam update + eval
+    fwd) — no host round trips;
+  * one **run** (default 500 epochs) = one ``lax.scan`` over epochs;
+  * all **runs** = one ``vmap`` over per-run parameter inits and split
+    masks — the 20 statistical replicas of the reference execute in
+    parallel on-chip instead of sequentially on host.
+
+Optimizer matches torch.optim.Adam semantics: weight decay is L2 added to
+the gradient *before* the Adam moments (``optax.add_decayed_weights``
+upstream of ``scale_by_adam``), unlike decoupled AdamW.
+
+Model selection matches the reference Logger (``src/train.py:118-150``):
+per run, pick the epoch with max validation accuracy; report the test
+accuracy of that epoch; aggregate mean ± std (ddof=1) over runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from allset_tpu.graph.batch import Batch, split_masks
+from allset_tpu.graph.transforms import rand_train_test_idx
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 500
+    runs: int = 20
+    lr: float = 1e-3
+    wd: float = 0.0
+    train_prop: float = 0.5
+    valid_prop: float = 0.25
+    vmap_runs: bool = True  # parallelize statistical runs on-device
+    eval_every: int = 1  # reference evaluates every epoch (train.py:486)
+    seed: int = 0
+
+
+def torch_adam(lr: float, wd: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay=wd): L2 into grads, then Adam."""
+    parts = []
+    if wd:
+        parts.append(optax.add_decayed_weights(wd))
+    parts += [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8), optax.scale(-lr)]
+    return optax.chain(*parts)
+
+
+def masked_nll(logits: Array, y: Array, mask: Array) -> Array:
+    """mean NLL(log_softmax(logits)) over mask — criterion of train.py:450,480."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+    m = mask.astype(logp.dtype)
+    return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def masked_acc(logits: Array, y: Array, mask: Array) -> Array:
+    pred = jnp.argmax(logits, axis=-1)
+    m = mask.astype(jnp.float32)
+    return ((pred == y).astype(jnp.float32) * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+class Trainer:
+    """Compile-once runner for one (model, batch) pair.
+
+    ``model`` is a flax Module taking ``(batch, train)``; BatchNorm models
+    carry a ``batch_stats`` collection transparently.
+    """
+
+    def __init__(self, model, batch: Batch, cfg: TrainConfig):
+        self.model = model
+        self.batch = batch
+        self.cfg = cfg
+        self.tx = torch_adam(cfg.lr, cfg.wd)
+
+    # --- pure functions (jit/vmap targets) ---
+
+    def _init(self, rng: Array):
+        variables = self.model.init({"params": rng}, self.batch, False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return params, batch_stats, self.tx.init(params)
+
+    def _apply(self, params, batch_stats, train: bool, rng: Optional[Array]):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        rngs = {"dropout": rng} if rng is not None else None
+        if train and batch_stats:
+            out, updated = self.model.apply(
+                variables, self.batch, True, rngs=rngs, mutable=["batch_stats"]
+            )
+            return out, updated["batch_stats"]
+        out = self.model.apply(variables, self.batch, train, rngs=rngs)
+        return out, batch_stats
+
+    def _epoch(self, carry, rng, masks):
+        params, batch_stats, opt_state = carry
+        y = self.batch.y
+
+        def loss_fn(p):
+            logits, new_stats = self._apply(p, batch_stats, True, rng)
+            return masked_nll(logits, y, masks["train"]), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        logits, _ = self._apply(params, new_stats, False, None)
+        metrics = jnp.stack(
+            [
+                masked_acc(logits, y, masks["train"]),
+                masked_acc(logits, y, masks["valid"]),
+                masked_acc(logits, y, masks["test"]),
+                loss,
+                masked_nll(logits, y, masks["valid"]),
+                masked_nll(logits, y, masks["test"]),
+            ]
+        )
+        return (params, new_stats, opt_state), metrics
+
+    def _run(self, rng: Array, masks):
+        """One full run: init + scan over epochs. Returns [epochs, 6]."""
+        init_rng, drop_rng = jax.random.split(rng)
+        carry = self._init(init_rng)
+        epoch_rngs = jax.random.split(drop_rng, self.cfg.epochs)
+
+        def step(c, r):
+            return self._epoch(c, r, masks)
+
+        final, metrics = jax.lax.scan(step, carry, epoch_rngs)
+        return metrics, final[0]
+
+    # --- host orchestration ---
+
+    def fit(self, verbose: bool = False) -> "Results":
+        cfg = self.cfg
+        n = self.batch.num_nodes
+        host_rng = np.random.default_rng(cfg.seed)
+        y_host = np.asarray(self.batch.y)
+
+        mask_list = []
+        for _ in range(cfg.runs):
+            idx = rand_train_test_idx(
+                y_host, cfg.train_prop, cfg.valid_prop, rng=host_rng
+            )
+            mask_list.append(split_masks(idx, n))
+        masks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *mask_list)
+
+        rngs = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.runs)
+
+        t0 = time.time()
+        if cfg.vmap_runs:
+            run_fn = jax.jit(jax.vmap(self._run))
+            metrics, params = run_fn(rngs, masks)
+            metrics = np.asarray(metrics)  # [runs, epochs, 6]
+        else:
+            run_fn = jax.jit(self._run)
+            outs = []
+            params = None
+            for r in range(cfg.runs):
+                m, params = run_fn(rngs[r], jax.tree_util.tree_map(lambda a: a[r], masks))
+                outs.append(np.asarray(m))
+            metrics = np.stack(outs)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params)[0] if params is not None else metrics)
+        wall = time.time() - t0
+
+        return Results(metrics=metrics, wall_time=wall, num_params=count_params(params, cfg.vmap_runs))
+
+
+def count_params(params, batched: bool) -> int:
+    if params is None:
+        return 0
+    leaves = jax.tree_util.tree_leaves(params)
+    total = sum(int(np.prod(l.shape)) for l in leaves)
+    if batched and leaves:
+        # vmapped params carry a leading runs axis
+        total //= leaves[0].shape[0]
+    return total
+
+
+@dataclasses.dataclass
+class Results:
+    """Reference-Logger-compatible statistics (``src/train.py:118-150``)."""
+
+    metrics: np.ndarray  # [runs, epochs, 6] = train/val/test acc, 3 losses
+    wall_time: float
+    num_params: int
+
+    def best_by_valid(self) -> Dict[str, Any]:
+        acc = self.metrics[:, :, :3] * 100.0
+        best_epoch = acc[:, :, 1].argmax(axis=1)
+        runs = np.arange(acc.shape[0])
+        highest_train = acc[:, :, 0].max(axis=1)
+        highest_valid = acc[:, :, 1].max(axis=1)
+        final_train = acc[runs, best_epoch, 0]
+        final_test = acc[runs, best_epoch, 2]
+
+        def ms(v):
+            return float(v.mean()), float(v.std(ddof=1)) if len(v) > 1 else 0.0
+
+        return {
+            "highest_train": ms(highest_train),
+            "highest_valid": ms(highest_valid),
+            "final_train": ms(final_train),
+            "final_test": ms(final_test),
+            "best_epoch": best_epoch,
+        }
+
+    def summary(self) -> str:
+        s = self.best_by_valid()
+        lines = ["All runs:"]
+        for k, label in [
+            ("highest_train", "Highest Train"),
+            ("highest_valid", "Highest Valid"),
+            ("final_train", "  Final Train"),
+            ("final_test", "   Final Test"),
+        ]:
+            m, d = s[k]
+            lines.append(f"{label}: {m:.2f} ± {d:.2f}")
+        lines.append(f"params: {self.num_params}, wall: {self.wall_time:.2f}s")
+        return "\n".join(lines)

@@ -1,0 +1,76 @@
+"""End-to-end training tests: the accuracy-band protocol of the reference
+(20-run mean ± std, best-val-epoch selection) on a learnable synthetic
+hypergraph (SURVEY.md §4 implication (5))."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from allset_tpu.data.synthetic import synthetic_hypergraph
+from allset_tpu.graph import add_self_loops, norm_construction
+from allset_tpu.graph.batch import Batch
+from allset_tpu.models import SetGNN, SetGNNConfig
+from allset_tpu.train import TrainConfig, Trainer
+
+
+def make_batch(seed=0, noise=0.5):
+    hd = synthetic_hypergraph(
+        num_nodes=120, num_hyperedges=60, num_classes=3,
+        homophily=0.9, feature_noise=noise, seed=seed,
+    )
+    hd = norm_construction(add_self_loops(hd), "all_one")
+    return Batch.from_hyperdata(hd), hd
+
+
+def test_alldeepsets_learns():
+    batch, hd = make_batch()
+    cfg = SetGNNConfig.all_deep_sets(
+        num_features=hd.num_features, num_classes=hd.num_classes,
+        all_num_layers=1, mlp_hidden=32, classifier_hidden=32,
+        classifier_num_layers=1,
+    )
+    trainer = Trainer(SetGNN(cfg), batch, TrainConfig(epochs=60, runs=3, lr=0.01))
+    res = trainer.fit()
+    stats = res.best_by_valid()
+    mean_test, _ = stats["final_test"]
+    assert mean_test > 60.0, f"AllDeepSets failed to learn: {mean_test}"
+    assert res.num_params > 0
+
+
+def test_allsettransformer_learns():
+    batch, hd = make_batch()
+    cfg = SetGNNConfig(
+        num_features=hd.num_features, num_classes=hd.num_classes,
+        all_num_layers=1, mlp_hidden=32, classifier_hidden=32,
+        classifier_num_layers=1, heads=4,
+    )
+    trainer = Trainer(SetGNN(cfg), batch, TrainConfig(epochs=60, runs=3, lr=0.01))
+    res = trainer.fit()
+    mean_test, _ = res.best_by_valid()["final_test"]
+    assert mean_test > 60.0, f"AllSetTransformer failed to learn: {mean_test}"
+
+
+def test_vmap_and_sequential_runs_agree():
+    """vmapped parallel runs must be statistically identical machinery to
+    sequential runs — same rngs, same splits => same metrics."""
+    batch, hd = make_batch()
+    cfg = SetGNNConfig.all_deep_sets(
+        num_features=hd.num_features, num_classes=hd.num_classes,
+        all_num_layers=1, mlp_hidden=16, classifier_num_layers=1,
+    )
+    tc = dict(epochs=10, runs=2, lr=0.01, seed=42)
+    res_v = Trainer(SetGNN(cfg), batch, TrainConfig(vmap_runs=True, **tc)).fit()
+    res_s = Trainer(SetGNN(cfg), batch, TrainConfig(vmap_runs=False, **tc)).fit()
+    np.testing.assert_allclose(res_v.metrics, res_s.metrics, rtol=1e-4, atol=1e-5)
+
+
+def test_bn_normalization_trains():
+    """BatchNorm path exercises the mutable batch_stats plumbing."""
+    batch, hd = make_batch()
+    cfg = SetGNNConfig.all_deep_sets(
+        num_features=hd.num_features, num_classes=hd.num_classes,
+        all_num_layers=1, mlp_hidden=16, normalization="bn",
+        classifier_num_layers=1,
+    )
+    res = Trainer(SetGNN(cfg), batch, TrainConfig(epochs=20, runs=2, lr=0.01)).fit()
+    assert np.all(np.isfinite(res.metrics))
