@@ -1,0 +1,137 @@
+"""HCHA / HGNN: Hypergraph Convolution (+ optional attention).
+
+Reference ``src/layers.py:318-494`` (HypergraphConv) and
+``src/models.py:252-292`` (HCHA wrapper). Math (Bai et al. 2019):
+
+    X' = D^-1 H W B^-1 H^T X Theta          (asymmetric, HCHA)
+    X' = D^-1/2 H W B^-1 H^T D^-1/2 X Theta (symdegnorm=True -> HGNN;
+                                             factory: src/train.py:77-82)
+
+computed as two propagate passes over the incidence: V->E with norm
+B^-1 (1/edge-degree), then E->V with norm D^-1 (or the D^-1/2 split).
+Degrees are built on-device with segment sums, matching the scatter_add
+builders at ``src/layers.py:436-470``. The optional attention path
+(``src/layers.py:427-434``, off by default) scores each incidence entry
+with att . [x_i || x_e] and softmaxes over the node's entries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from allset_tpu.graph.batch import Batch
+from allset_tpu.nn.init import glorot_uniform, xavier_uniform_torch_fans
+from allset_tpu.ops import gather_rows, segment_softmax, segment_sum
+
+Array = jax.Array
+
+
+def _safe_inv(x: Array, power: float = 1.0) -> Array:
+    """1/x**power with empty (0) degrees -> 0, as the reference's
+    ``D[D == inf] = 0`` lines (src/layers.py:439-445)."""
+    inv = jnp.where(x > 0, x ** -power, jnp.zeros_like(x))
+    return inv
+
+
+class HypergraphConv(nn.Module):
+    out_channels: int
+    symdegnorm: bool = False
+    use_attention: bool = False
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
+        inc = batch.inc
+        n, m = inc.num_nodes, inc.num_edges
+        H = self.heads if self.use_attention else 1
+        F = self.out_channels
+
+        weight = self.param(
+            "weight", glorot_uniform(), (x.shape[-1], H * F)
+        )
+        x = x @ weight
+
+        alpha = None
+        if self.use_attention:
+            xh = x.reshape(-1, H, F)
+            att = self.param("att", xavier_uniform_torch_fans((1, H, 2 * F)), (1, H, 2 * F))
+            x_i = gather_rows(xh, inc.node)  # [nnz,H,F]
+            x_e = gather_rows(xh, jnp.minimum(inc.edge, n - 1))  # ref indexes x by he id
+            cat = jnp.concatenate([x_i, x_e], axis=-1)
+            alpha = (cat * att).sum(-1)  # [nnz,H]
+            alpha = nn.leaky_relu(alpha, self.negative_slope)
+            alpha = segment_softmax(alpha, inc.node, n, mask=inc.mask)
+            alpha = nn.Dropout(self.dropout)(alpha, deterministic=not train)
+            x = xh
+
+        ones = inc.norm_ones()
+        # D: weighted node degree (hyperedge weights are all-ones here, as
+        # in the reference default), B: edge cardinality.
+        D = segment_sum(ones, inc.node, n)
+        B = segment_sum(ones, inc.edge, m, indices_are_sorted=True)
+        Binv = _safe_inv(B)
+
+        if not self.symdegnorm:
+            Dinv = _safe_inv(D)
+        else:
+            Dinv = _safe_inv(D, 0.5)
+            x = Dinv[:, None] * x if not self.use_attention else Dinv[:, None, None] * x
+
+        def prop(h, src, dst, num_seg, norm_dst, sorted_):
+            msg = gather_rows(h, src) * gather_rows(norm_dst, dst).reshape(
+                (-1,) + (1,) * (h.ndim - 1)
+            )
+            if alpha is not None:
+                msg = msg * alpha.reshape(alpha.shape + (1,) * (h.ndim - 2))
+            return segment_sum(msg, dst, num_seg, indices_are_sorted=sorted_)
+
+        out = prop(x, inc.node, inc.edge, m, Binv, True)  # V->E, norm B^-1
+        out = prop(out, inc.edge, inc.node, n, Dinv, False)  # E->V, norm D^-*
+
+        if self.use_attention:
+            out = (
+                out.reshape(-1, H * F)
+                if self.concat
+                else out.mean(axis=1)
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (H * F if (self.use_attention and self.concat) else F,))
+            out = out + bias
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class HCHAConfig:
+    num_features: int
+    num_classes: int
+    all_num_layers: int = 2
+    mlp_hidden: int = 64
+    dropout: float = 0.5
+    symdegnorm: bool = False  # True -> the HGNN variant
+
+
+class HCHA(nn.Module):
+    """Stack of HypergraphConv with ELU + dropout (``src/models.py:280-292``)."""
+
+    cfg: HCHAConfig
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        x = batch.x
+        widths = [c.mlp_hidden] * (c.all_num_layers - 1) + [c.num_classes]
+        for i, w in enumerate(widths):
+            conv = HypergraphConv(out_channels=w, symdegnorm=c.symdegnorm, name=f"conv{i}")
+            x = conv(x, batch, train)
+            if i < len(widths) - 1:
+                x = nn.elu(x)
+                x = nn.Dropout(c.dropout)(x, deterministic=not train)
+        return x

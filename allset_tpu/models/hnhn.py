@@ -1,0 +1,86 @@
+"""HNHN: Hypergraph Networks with Hyperedge Neurons.
+
+Reference ``src/layers.py:233-315`` (HNHNConv) and ``src/models.py:207-249``
+(HNHN wrapper). One conv is:
+
+    E  = D_e_beta_inv * segsum_e( (D_v_beta * (X W_v2e))[v] )   V->E
+    E  = relu(E)                 (nonlinear_inbetween)
+    X' = D_v_alpha_inv * segsum_v( (D_e_alpha * (E W_e2v))[e] ) E->V
+
+with the four degree-powered vectors precomputed on the host by
+``allset_tpu.graph.transforms.generate_norm_hnhn`` (reference
+``src/preprocessing.py:295-340``; alpha=-1.5, beta=-0.5 defaults from
+``src/train.py:269-270``) and carried in ``batch.extras``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+from flax import linen as nn
+
+from allset_tpu.graph.batch import Batch
+from allset_tpu.nn.modules import TorchDense
+from allset_tpu.ops import gather_rows, segment_sum
+
+Array = jax.Array
+
+
+class HNHNConv(nn.Module):
+    hidden_channels: int
+    out_channels: int
+    nonlinear_inbetween: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
+        inc = batch.inc
+        ex = batch.extras
+
+        x = TorchDense(self.hidden_channels, name="weight_v2e")(x)
+        x = ex["D_v_beta"][:, None] * x
+        # V->E: message norm_i = D_e_beta_inv at the destination edge
+        msg = gather_rows(x, inc.node) * gather_rows(ex["D_e_beta_inv"], inc.edge)[:, None]
+        msg = msg * inc.mask[:, None].astype(msg.dtype)
+        out = segment_sum(msg, inc.edge, inc.num_edges, indices_are_sorted=True)
+
+        if self.nonlinear_inbetween:
+            out = nn.relu(out)
+
+        out = TorchDense(self.out_channels, name="weight_e2v")(out)
+        out = ex["D_e_alpha"][:, None] * out
+        # E->V: message norm_i = D_v_alpha_inv at the destination node
+        msg = gather_rows(out, inc.edge) * gather_rows(ex["D_v_alpha_inv"], inc.node)[:, None]
+        msg = msg * inc.mask[:, None].astype(msg.dtype)
+        return segment_sum(msg, inc.node, inc.num_nodes)
+
+
+@dataclasses.dataclass(frozen=True)
+class HNHNConfig:
+    num_features: int
+    num_classes: int
+    all_num_layers: int = 2
+    mlp_hidden: int = 64
+    dropout: float = 0.5
+    nonlinear_inbetween: bool = True
+
+
+class HNHN(nn.Module):
+    cfg: HNHNConfig
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        x = batch.x
+        if c.all_num_layers == 1:
+            return HNHNConv(c.mlp_hidden, c.num_classes,
+                            c.nonlinear_inbetween, name="conv0")(x, batch, train)
+        widths = [c.mlp_hidden] * (c.all_num_layers - 1) + [c.num_classes]
+        for i, w in enumerate(widths):
+            x = HNHNConv(c.mlp_hidden, w, c.nonlinear_inbetween, name=f"conv{i}")(
+                x, batch, train
+            )
+            if i < len(widths) - 1:
+                x = nn.relu(x)
+                x = nn.Dropout(c.dropout)(x, deterministic=not train)
+        return x

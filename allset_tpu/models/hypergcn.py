@@ -1,0 +1,180 @@
+"""HyperGCN: non-uniform hypergraph Laplacian graph approximation.
+
+Reference ``src/models.py:29-77`` + ``src/utils.py:11-263``. Per hyperedge,
+member features are projected on a random vector; the argmax/argmin
+("supremum/infimum") pair is connected, plus optional mediator edges with
+weight 1/(2k-3); the resulting graph is symmetrically normalized with unit
+self-loops. Convolution is A @ (X W) + b.
+
+Two modes (``src/train.py:285`` defaults fast=True):
+  * fast: the Laplacian is built ONCE from the input features on the host
+    (``build_hypergcn_laplacian``) and shipped as a V2V Incidence.
+  * reapproximate: the reference rebuilds the Laplacian from current
+    activations on CPU EVERY forward (``src/utils.py:39-41``) — an
+    inherently host-side, dynamic-shape step. We reproduce it with
+    ``jax.pure_callback`` into a padded static COO (SURVEY.md §7 "accept
+    the perf cliff").
+
+Layer init: W and bias ~ U(±1/sqrt(out_features)) (``src/utils.py:27-30``).
+Layer widths descend in powers of two: h = [d, 2^(l-i+2)..., c]
+(``src/models.py:40-46``; citeseer uses l-i+4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from allset_tpu.graph.batch import Batch
+from allset_tpu.graph.incidence import Incidence
+from allset_tpu.nn.init import uniform_symmetric
+from allset_tpu.ops import gather_rows, segment_sum
+
+Array = jax.Array
+
+
+def _laplacian_coo(
+    num_nodes: int, edge_dict: Dict[int, List[int]], X: np.ndarray, mediators: bool, rng
+):
+    """(rows, cols, vals) of the symnormalized approximation adjacency."""
+    rv = rng.random(X.shape[1])
+    weights: Dict[tuple, float] = {}
+
+    for members in edge_dict.values():
+        members = list(members)
+        k = len(members)
+        if k == 0:
+            continue
+        p = X[members] @ rv
+        Se, Ie = members[int(np.argmax(p))], members[int(np.argmin(p))]
+        if mediators:
+            c = 2 * k - 3 if 2 * k - 3 > 0 else 1
+            for (a, b) in ((Se, Ie), (Ie, Se)):
+                weights[(a, b)] = weights.get((a, b), 0.0) + 1.0 / c
+            for mdt in members:
+                if mdt != Se and mdt != Ie:
+                    for (a, b) in ((Se, mdt), (Ie, mdt), (mdt, Se), (mdt, Ie)):
+                        weights[(a, b)] = weights.get((a, b), 0.0) + 1.0 / c
+        else:
+            for (a, b) in ((Se, Ie), (Ie, Se)):
+                weights[(a, b)] = weights.get((a, b), 0.0) + 1.0 / k
+
+    # accumulate + unit self loops
+    for v in range(num_nodes):
+        weights[(v, v)] = weights.get((v, v), 0.0) + 1.0
+
+    rows = np.fromiter((k[0] for k in weights), dtype=np.int64, count=len(weights))
+    cols = np.fromiter((k[1] for k in weights), dtype=np.int64, count=len(weights))
+    vals = np.fromiter(weights.values(), dtype=np.float64, count=len(weights))
+
+    # D^{-1/2} A D^{-1/2}, D = row sums (src/utils.py:203-221)
+    deg = np.zeros(num_nodes)
+    np.add.at(deg, rows, vals)
+    with np.errstate(divide="ignore"):
+        dinv = deg ** -0.5
+    dinv[~np.isfinite(dinv)] = 0.0
+    vals = dinv[rows] * vals * dinv[cols]
+    return rows, cols, vals.astype(np.float32)
+
+
+def build_hypergcn_laplacian(
+    num_nodes: int,
+    edge_dict: Dict[int, List[int]],
+    X: np.ndarray,
+    mediators: bool = True,
+    seed: int = 0,
+    bucket: int = 256,
+) -> Incidence:
+    """Fast-path structure: built once from raw features (``src/models.py:48-50``)."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = _laplacian_coo(num_nodes, edge_dict, np.asarray(X), mediators, rng)
+    return Incidence.from_arrays(
+        rows, cols, norm=vals, num_nodes=num_nodes, num_edges=num_nodes,
+        bucket=bucket, sort_by_edge=True,
+    )
+
+
+def laplacian_nnz_bound(edge_dict: Dict[int, List[int]], num_nodes: int, mediators: bool) -> int:
+    """Static upper bound on the approximation's nnz, for the slow path's
+    padded callback output."""
+    total = num_nodes  # self loops
+    for members in edge_dict.values():
+        k = len(members)
+        total += 2 + (4 * max(k - 2, 0) if mediators else 0)
+    return total
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperGCNConfig:
+    num_features: int
+    num_classes: int
+    all_num_layers: int = 2
+    dropout: float = 0.5
+    mediators: bool = True
+    fast: bool = True
+    dname: str = ""  # citeseer gets wider powers (src/models.py:43-44)
+
+    def widths(self) -> List[int]:
+        l = self.all_num_layers
+        h = [self.num_features]
+        for i in range(l - 1):
+            power = l - i + 4 if self.dname == "citeseer" else l - i + 2
+            h.append(2 ** power)
+        h.append(self.num_classes)
+        return h
+
+
+class HyperGCNLayer(nn.Module):
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: Array, struct: Incidence) -> Array:
+        std = 1.0 / np.sqrt(self.out_features)
+        W = self.param("W", uniform_symmetric(std), (x.shape[-1], self.out_features))
+        b = self.param("bias", uniform_symmetric(std), (self.out_features,))
+        hw = x @ W
+        msg = gather_rows(hw, struct.node) * struct.norm[:, None]
+        return segment_sum(msg, struct.edge, struct.num_nodes, indices_are_sorted=True) + b
+
+
+class HyperGCN(nn.Module):
+    """Fast-path HyperGCN: the approximation Incidence is carried in
+    ``batch.extras`` as ('hypergcn_node','hypergcn_edge','hypergcn_norm')
+    flattened arrays (Incidence isn't a dict entry; rebuild is cheap)."""
+
+    cfg: HyperGCNConfig
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        ex = batch.extras
+        struct = Incidence(
+            node=ex["hypergcn_node"],
+            edge=ex["hypergcn_edge"],
+            norm=ex["hypergcn_norm"],
+            mask=ex["hypergcn_mask"],
+            num_nodes=batch.num_nodes,
+            num_edges=batch.num_nodes,
+            nnz=int(ex["hypergcn_node"].shape[0]),
+        )
+        h = batch.x
+        widths = c.widths()[1:]
+        for i, w in enumerate(widths):
+            h = nn.relu(HyperGCNLayer(w, name=f"layer{i}")(h, struct))
+            if i < len(widths) - 1:
+                h = nn.Dropout(c.dropout)(h, deterministic=not train)
+        return h
+
+
+def hypergcn_extras(struct: Incidence) -> Dict[str, Array]:
+    return {
+        "hypergcn_node": struct.node,
+        "hypergcn_edge": struct.edge,
+        "hypergcn_norm": struct.norm,
+        "hypergcn_mask": struct.mask,
+    }

@@ -1,0 +1,247 @@
+"""UniGNN family + UniGCNII.
+
+Reference ``src/models.py:580-996`` (adapted there from the official
+UniGNN repo). All convs share the two-stage gather/scatter idiom
+
+    Xve = X[vertex]; Xe = scatter(Xve, edges, reduce=first_aggregate)
+    Xev = Xe[edges]; Xv = scatter(Xev, vertex, reduce=second)
+
+over the incidence arrays (vertex == inc.node, edges == inc.edge). Only
+UniGCNII is reachable from the reference factory (``src/train.py:92-101``);
+the rest are kept for capability parity. Degree vectors degV^{-1/2},
+degE^{-1/2} come from ``allset_tpu.graph.transforms.unignn_degrees``
+(reference ``src/train.py:396-412``) via ``batch.extras``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from allset_tpu.graph.batch import Batch
+from allset_tpu.nn.init import xavier_uniform_torch_fans
+from allset_tpu.nn.modules import TorchDense
+from allset_tpu.ops import gather_rows, segment_reduce, segment_softmax, segment_sum
+
+Array = jax.Array
+
+
+def normalize_l2(x: Array) -> Array:
+    """Row-normalize (``src/models.py:590-596``); zero rows stay zero."""
+    norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+    scale = jnp.where(norm > 0, 1.0 / norm, 0.0)
+    return x * scale
+
+
+def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, scale_v=None):
+    xve = gather_rows(x, inc.node)
+    xe = segment_reduce(xve, inc.edge, inc.num_edges, first_aggregate, indices_are_sorted=True)
+    if scale_e is not None:
+        xe = xe * scale_e
+    xev = gather_rows(xe, inc.edge)
+    xv = segment_reduce(xev, inc.node, inc.num_nodes, second_aggregate)
+    if scale_v is not None:
+        xv = xv * scale_v
+    return xv, xe
+
+
+@dataclasses.dataclass(frozen=True)
+class UniGNNConfig:
+    num_features: int
+    num_classes: int
+    model_name: str = "UniGCN"  # UniGAT | UniGCN | UniGCN2 | UniGIN | UniSAGE
+    all_num_layers: int = 2
+    mlp_hidden: int = 8
+    heads: int = 8
+    dropout: float = 0.6
+    input_drop: float = 0.6
+    attn_drop: float = 0.6
+    first_aggregate: str = "mean"
+    second_aggregate: str = "sum"
+    use_norm: bool = False
+    activation: str = "relu"
+
+
+class UniSAGEConv(nn.Module):
+    cfg: UniGNNConfig
+    out_channels: int
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        x = TorchDense(self.heads * self.out_channels, use_bias=False, name="W")(x)
+        xv, _ = _two_stage(x, batch.inc, c.first_aggregate, c.second_aggregate)
+        x = x + xv
+        return normalize_l2(x) if c.use_norm else x
+
+
+class UniGINConv(nn.Module):
+    cfg: UniGNNConfig
+    out_channels: int
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        eps = self.param("eps", nn.initializers.zeros, (1,))
+        x = TorchDense(self.heads * self.out_channels, use_bias=False, name="W")(x)
+        xv, _ = _two_stage(x, batch.inc, c.first_aggregate, "sum")
+        x = (1 + eps) * x + xv
+        return normalize_l2(x) if c.use_norm else x
+
+
+class UniGCNConv(nn.Module):
+    cfg: UniGNNConfig
+    out_channels: int
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        degV, degE = batch.extras["degV"], batch.extras["degE"]
+        x = TorchDense(self.heads * self.out_channels, use_bias=False, name="W")(x)
+        xv, _ = _two_stage(x, batch.inc, c.first_aggregate, "sum",
+                           scale_e=degE, scale_v=degV)
+        return normalize_l2(xv) if c.use_norm else xv
+
+
+class UniGCNConv2(nn.Module):
+    """v2: X -> AX -> norm -> AXW (``src/models.py:742-788``)."""
+
+    cfg: UniGNNConfig
+    out_channels: int
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        degV, degE = batch.extras["degV"], batch.extras["degE"]
+        xv, _ = _two_stage(x, batch.inc, c.first_aggregate, "sum",
+                           scale_e=degE, scale_v=degV)
+        if c.use_norm:
+            xv = normalize_l2(xv)
+        return TorchDense(self.heads * self.out_channels, use_bias=True, name="W")(xv)
+
+
+class UniGATConv(nn.Module):
+    cfg: UniGNNConfig
+    out_channels: int
+    heads: int = 1
+    negative_slope: float = 0.2
+    skip_sum: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        inc = batch.inc
+        H, C = self.heads, self.out_channels
+        x0 = TorchDense(H * C, use_bias=False, name="W")(x)
+        xh = x0.reshape(-1, H, C)
+
+        xve = gather_rows(xh, inc.node)
+        xe = segment_reduce(xve, inc.edge, inc.num_edges, c.first_aggregate,
+                            indices_are_sorted=True)  # [E,H,C]
+        att_e = self.param("att_e", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
+        alpha_e = (xe * att_e).sum(-1)  # [E,H]
+        a_ev = gather_rows(alpha_e, inc.edge)
+        alpha = nn.leaky_relu(a_ev, self.negative_slope)
+        alpha = segment_softmax(alpha, inc.node, inc.num_nodes, mask=inc.mask)
+        alpha = nn.Dropout(c.attn_drop)(alpha, deterministic=not train)
+
+        xev = gather_rows(xe, inc.edge) * alpha[..., None]
+        xv = segment_sum(xev, inc.node, inc.num_nodes)
+        out = xv.reshape(-1, H * C)
+        if c.use_norm:
+            out = normalize_l2(out)
+        if self.skip_sum:
+            out = out + x0
+        return out
+
+
+_CONVS = {
+    "UniGAT": UniGATConv,
+    "UniGCN": UniGCNConv,
+    "UniGCN2": UniGCNConv2,
+    "UniGIN": UniGINConv,
+    "UniSAGE": UniSAGEConv,
+}
+
+
+class UniGNN(nn.Module):
+    """Generic UniGNN stack (``src/models.py:869-907``). Note the reference
+    returns log_softmax from forward; our trainer applies log_softmax in
+    the loss, so logits are returned here (same training math)."""
+
+    cfg: UniGNNConfig
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        Conv = _CONVS[c.model_name]
+        act = nn.relu if c.activation == "relu" else nn.PReLU()
+        x = nn.Dropout(c.input_drop)(batch.x, deterministic=not train)
+        for i in range(c.all_num_layers - 1):
+            x = Conv(c, c.mlp_hidden, heads=c.heads, name=f"conv{i}")(x, batch, train)
+            x = act(x)
+            x = nn.Dropout(c.dropout)(x, deterministic=not train)
+        x = Conv(c, c.num_classes, heads=1, name="conv_out")(x, batch, train)
+        return x
+
+
+class UniGCNIIConv(nn.Module):
+    """GCNII-style identity-mapped conv (``src/models.py:911-944``)."""
+
+    cfg: "UniGCNIIConfig"
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x, x0, alpha, beta, batch: Batch) -> Array:
+        degV, degE = batch.extras["degV"], batch.extras["degE"]
+        xv, _ = _two_stage(x, batch.inc, "mean", "sum", scale_e=degE, scale_v=degV)
+        if self.cfg.use_norm:
+            xv = normalize_l2(xv)
+        xi = (1 - alpha) * xv + alpha * x0
+        w = TorchDense(self.out_features, use_bias=False, name="W")
+        return (1 - beta) * xi + beta * w(xi)
+
+
+@dataclasses.dataclass(frozen=True)
+class UniGCNIIConfig:
+    num_features: int
+    num_classes: int
+    all_num_layers: int = 2
+    mlp_hidden: int = 64
+    heads: int = 1
+    use_norm: bool = False
+
+
+class UniGCNII(nn.Module):
+    """UniGCNII (``src/models.py:948-996``): input linear, nlayer identity-
+    mapping convs with beta = log(lamda/(i+1)+1), output linear; dropout
+    0.2, lamda=0.5, alpha=0.1 hard-coded as in the reference."""
+
+    cfg: UniGCNIIConfig
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        nhid = c.mlp_hidden * c.heads
+        drop = nn.Dropout(0.2)
+        lamda, alpha = 0.5, 0.1
+
+        x = drop(batch.x, deterministic=not train)
+        x = nn.relu(TorchDense(nhid, name="lin_in")(x))
+        x0 = x
+        for i in range(c.all_num_layers):
+            x = drop(x, deterministic=not train)
+            beta = math.log(lamda / (i + 1) + 1)
+            x = nn.relu(
+                UniGCNIIConv(c, nhid, name=f"conv{i}")(x, x0, alpha, beta, batch)
+            )
+        x = drop(x, deterministic=not train)
+        return TorchDense(c.num_classes, name="lin_out")(x)

@@ -83,11 +83,12 @@ class Trainer:
     carry a ``batch_stats`` collection transparently.
     """
 
-    def __init__(self, model, batch: Batch, cfg: TrainConfig):
+    def __init__(self, model, batch: Batch, cfg: TrainConfig,
+                 tx: Optional[optax.GradientTransformation] = None):
         self.model = model
         self.batch = batch
         self.cfg = cfg
-        self.tx = torch_adam(cfg.lr, cfg.wd)
+        self.tx = tx if tx is not None else torch_adam(cfg.lr, cfg.wd)
 
     # --- pure functions (jit/vmap targets) ---
 
