@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from allset_tpu.graph import add_self_loops, norm_construction
+from allset_tpu.graph.batch import Batch
 from allset_tpu.models.setgnn import SetGNN, SetGNNConfig
 from allset_tpu.nn.modules import MLP, PMA, HalfNLHconv
 
@@ -153,20 +154,19 @@ def test_setgnn_padding_invariance(rng):
     hd, _ = build_inc(rng)
     cfg = SetGNNConfig(num_features=16, num_classes=3, heads=4, mlp_hidden=64)
     model = SetGNN(cfg)
-    x = jnp.asarray(hd.x)
-    inc_small = hd.to_incidence(bucket=8)
-    inc_big = hd.to_incidence(bucket=512)
-    variables = model.init(jax.random.PRNGKey(0), x, inc_small, False)
-    out_small = model.apply(variables, x, inc_small, False)
-    out_big = model.apply(variables, x, inc_big, False)
+    b_small = Batch.from_hyperdata(hd, bucket=8)
+    b_big = Batch.from_hyperdata(hd, bucket=512)
+    variables = model.init(jax.random.PRNGKey(0), b_small, False)
+    out_small = model.apply(variables, b_small, False)
+    out_big = model.apply(variables, b_big, False)
     np.testing.assert_allclose(
         np.asarray(out_small), np.asarray(out_big), rtol=1e-5, atol=1e-5
     )
 
 
 def test_setgnn_variants_forward(rng):
-    hd, inc = build_inc(rng)
-    x = jnp.asarray(hd.x)
+    hd, _ = build_inc(rng)
+    batch = Batch.from_hyperdata(hd)
     for cfg in [
         SetGNNConfig(num_features=16, num_classes=3, heads=2),
         SetGNNConfig.all_deep_sets(num_features=16, num_classes=3),
@@ -175,23 +175,23 @@ def test_setgnn_variants_forward(rng):
         SetGNNConfig(num_features=16, num_classes=3, all_num_layers=0),
     ]:
         model = SetGNN(cfg)
-        variables = model.init(jax.random.PRNGKey(0), x, inc, False)
-        out = model.apply(variables, x, inc, False)
+        variables = model.init(jax.random.PRNGKey(0), batch, False)
+        out = model.apply(variables, batch, False)
         assert out.shape == (hd.num_nodes, 3)
         assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_setgnn_jit_and_grad(rng):
-    hd, inc = build_inc(rng)
+    hd, _ = build_inc(rng)
+    batch = Batch.from_hyperdata(hd)
     cfg = SetGNNConfig(num_features=16, num_classes=3, heads=4)
     model = SetGNN(cfg)
-    x = jnp.asarray(hd.x)
     y = jnp.asarray(hd.y)
-    variables = model.init(jax.random.PRNGKey(0), x, inc, False)
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
 
     @jax.jit
     def loss_fn(params):
-        out = model.apply({"params": params}, x, inc, False)
+        out = model.apply({"params": params}, batch, False)
         logp = jax.nn.log_softmax(out, axis=-1)
         return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
 
