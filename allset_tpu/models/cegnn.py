@@ -60,19 +60,17 @@ class GATConv(nn.Module):
         att_l = self.param("att_l", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
         att_r = self.param("att_r", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
 
-        h = (x @ weight).reshape(-1, H, C)
-        a_src = (h * att_l).sum(-1)  # [N, H]
-        a_dst = (h * att_r).sum(-1)
+        h = x @ weight  # flat [N, H*C] (see PMA's TPU layout note)
+        a_src = (h.reshape(-1, H, C) * att_l).sum(-1)  # [N, H]
+        a_dst = (h.reshape(-1, H, C) * att_r).sum(-1)
         alpha = gather_rows(a_src, g.node) + gather_rows(a_dst, g.edge)
         alpha = nn.leaky_relu(alpha, self.negative_slope)
         alpha = segment_softmax(alpha, g.edge, g.num_nodes, mask=g.mask)
         alpha = nn.Dropout(self.dropout)(alpha, deterministic=not train)
-        msg = gather_rows(h, g.node) * alpha[..., None]
+        msg = gather_rows(h, g.node) * jnp.repeat(alpha, C, axis=1)
         out = segment_sum(msg, g.edge, g.num_nodes)
-        if self.concat:
-            out = out.reshape(-1, H * C)
-        else:
-            out = out.mean(axis=1)
+        if not self.concat:
+            out = out.reshape(-1, H, C).mean(axis=1)
         bias = self.param(
             "bias", nn.initializers.zeros, (H * C if self.concat else C,)
         )

@@ -61,16 +61,18 @@ class HypergraphConv(nn.Module):
 
         alpha = None
         if self.use_attention:
-            xh = x.reshape(-1, H, F)
+            # flat [rows, H*F] layout (see PMA's TPU layout note); per-head
+            # scores via a reshaped view of the small [1,H,2F] att param.
             att = self.param("att", xavier_uniform_torch_fans((1, H, 2 * F)), (1, H, 2 * F))
-            x_i = gather_rows(xh, inc.node)  # [nnz,H,F]
-            x_e = gather_rows(xh, jnp.minimum(inc.edge, n - 1))  # ref indexes x by he id
-            cat = jnp.concatenate([x_i, x_e], axis=-1)
-            alpha = (cat * att).sum(-1)  # [nnz,H]
+            att_i, att_e = att[..., :F], att[..., F:]
+            s_i = (x.reshape(-1, H, F) * att_i).sum(-1)  # [N, H]
+            s_e = (x.reshape(-1, H, F) * att_e).sum(-1)
+            alpha = gather_rows(s_i, inc.node) + gather_rows(
+                s_e, jnp.minimum(inc.edge, n - 1)  # ref indexes x by he id
+            )
             alpha = nn.leaky_relu(alpha, self.negative_slope)
             alpha = segment_softmax(alpha, inc.node, n, mask=inc.mask)
             alpha = nn.Dropout(self.dropout)(alpha, deterministic=not train)
-            x = xh
 
         ones = inc.norm_ones()
         # D: weighted node degree (hyperedge weights are all-ones here, as
@@ -83,25 +85,19 @@ class HypergraphConv(nn.Module):
             Dinv = _safe_inv(D)
         else:
             Dinv = _safe_inv(D, 0.5)
-            x = Dinv[:, None] * x if not self.use_attention else Dinv[:, None, None] * x
+            x = Dinv[:, None] * x
 
         def prop(h, src, dst, num_seg, norm_dst, sorted_):
-            msg = gather_rows(h, src) * gather_rows(norm_dst, dst).reshape(
-                (-1,) + (1,) * (h.ndim - 1)
-            )
+            msg = gather_rows(h, src) * gather_rows(norm_dst, dst)[:, None]
             if alpha is not None:
-                msg = msg * alpha.reshape(alpha.shape + (1,) * (h.ndim - 2))
+                msg = msg * jnp.repeat(alpha, F, axis=1)
             return segment_sum(msg, dst, num_seg, indices_are_sorted=sorted_)
 
         out = prop(x, inc.node, inc.edge, m, Binv, True)  # V->E, norm B^-1
         out = prop(out, inc.edge, inc.node, n, Dinv, False)  # E->V, norm D^-*
 
-        if self.use_attention:
-            out = (
-                out.reshape(-1, H * F)
-                if self.concat
-                else out.mean(axis=1)
-            )
+        if self.use_attention and not self.concat:
+            out = out.reshape(-1, H, F).mean(axis=1)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (H * F if (self.use_attention and self.concat) else F,))
             out = out + bias

@@ -141,21 +141,20 @@ class UniGATConv(nn.Module):
         inc = batch.inc
         H, C = self.heads, self.out_channels
         x0 = TorchDense(H * C, use_bias=False, name="W")(x)
-        xh = x0.reshape(-1, H, C)
 
-        xve = gather_rows(xh, inc.node)
+        # flat [rows, H*C] layout throughout (see PMA's TPU layout note)
+        xve = gather_rows(x0, inc.node)
         xe = segment_reduce(xve, inc.edge, inc.num_edges, c.first_aggregate,
-                            indices_are_sorted=True)  # [E,H,C]
+                            indices_are_sorted=True)  # [E, H*C]
         att_e = self.param("att_e", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
-        alpha_e = (xe * att_e).sum(-1)  # [E,H]
+        alpha_e = (xe.reshape(-1, H, C) * att_e).sum(-1)  # [E,H]
         a_ev = gather_rows(alpha_e, inc.edge)
         alpha = nn.leaky_relu(a_ev, self.negative_slope)
         alpha = segment_softmax(alpha, inc.node, inc.num_nodes, mask=inc.mask)
         alpha = nn.Dropout(c.attn_drop)(alpha, deterministic=not train)
 
-        xev = gather_rows(xe, inc.edge) * alpha[..., None]
-        xv = segment_sum(xev, inc.node, inc.num_nodes)
-        out = xv.reshape(-1, H * C)
+        xev = gather_rows(xe, inc.edge) * jnp.repeat(alpha, C, axis=1)
+        out = segment_sum(xev, inc.node, inc.num_nodes)
         if c.use_norm:
             out = normalize_l2(out)
         if self.skip_sum:

@@ -143,24 +143,28 @@ class PMA(nn.Module):
 
         x_K = TorchDense(H * C, kernel_init=glorot_uniform(), name="lin_K")(x)
         x_V = TorchDense(H * C, kernel_init=glorot_uniform(), name="lin_V")(x)
-        x_K = x_K.reshape(-1, H, C)
-        x_V = x_V.reshape(-1, H, C)
 
         att_r = self.param("att_r", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
-        alpha = (x_K * att_r).sum(axis=-1)  # [N, H]
+        # TPU layout note: everything stays 2-D [rows, H*C]. A [nnz, H, C]
+        # 3-D layout puts C=hid/heads on the 128-lane minor dim and measures
+        # ~7x slower through XLA's gather/scatter tiling; per-head semantics
+        # are preserved by head-blockwise reduction/broadcast on the flat
+        # axis (flatten order is head-major, matching reshape(-1, H, C)).
+        alpha = (x_K.reshape(-1, H, C) * att_r).sum(axis=-1)  # [N, H]
 
         a_j = gather_rows(alpha, src)  # [nnz, H]
-        x_j = gather_rows(x_V, src)  # [nnz, H, C]
+        x_j = gather_rows(x_V, src)  # [nnz, H*C]
         a_j = nn.leaky_relu(a_j, self.negative_slope)
         a_j = segment_softmax(
             a_j, dst, num_segments, mask=mask, indices_are_sorted=indices_are_sorted
         )
         out = segment_sum(
-            x_j * a_j[..., None], dst, num_segments, indices_are_sorted=indices_are_sorted
-        )  # [M, H, C]
+            x_j * jnp.repeat(a_j, C, axis=1),
+            dst, num_segments, indices_are_sorted=indices_are_sorted,
+        )  # [M, H*C]
 
-        out = out + att_r  # seed + multihead (src/layers.py:153)
-        out = nn.LayerNorm(epsilon=LN_EPS, name="ln0")(out.reshape(-1, H * C))
+        out = out + att_r.reshape(1, H * C)  # seed + multihead (src/layers.py:153)
+        out = nn.LayerNorm(epsilon=LN_EPS, name="ln0")(out)
         rff = MLP(
             hidden_channels=H * C,
             out_channels=self.out_dim,
