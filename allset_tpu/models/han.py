@@ -1,0 +1,145 @@
+"""HAN: Heterogeneous Graph Attention Network over metapath graphs.
+
+Reference ``src/DGL_HAN/model.py``: one DGL-style GAT per metapath graph +
+semantic attention softmax over the per-metapath embeddings, stacked, then
+a linear predictor. Our metapath graphs (VEV, EVE) come from
+``allset_tpu.graph.metapath.build_metapath_graphs`` (scipy SpGEMM, as the
+reference exporter does at ``DGL_HAN/print_dataset_statistics.py:129-137``).
+
+DGL GATConv semantics reproduced: feat-dropout on inputs, attention
+dropout on the softmaxed alphas, leaky_relu(0.2) scores, ELU activation,
+xavier-normal(gain=sqrt(2)) init, heads concatenated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from allset_tpu.graph.batch import Batch
+from allset_tpu.graph.incidence import Incidence
+from allset_tpu.nn.modules import TorchDense
+from allset_tpu.ops import gather_rows, segment_softmax, segment_sum
+
+Array = jax.Array
+
+
+def xavier_normal_gain(gain: float):
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[0], shape[-1]
+        if len(shape) == 3:  # (1, H, C) attention vectors: torch fans
+            fan_in, fan_out = shape[1] * shape[2], shape[2]
+        std = gain * np.sqrt(2.0 / (fan_in + fan_out))
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class DGLGATConv(nn.Module):
+    """DGL-style GATConv over an Incidence-as-graph (src=node, dst=edge
+    both in the combined id space)."""
+
+    out_channels: int
+    heads: int
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+    use_elu: bool = True
+
+    @nn.compact
+    def __call__(self, g: Incidence, x: Array, train: bool = False) -> Array:
+        H, C = self.heads, self.out_channels
+        x = nn.Dropout(self.feat_drop)(x, deterministic=not train)
+        w = self.param("fc", xavier_normal_gain(np.sqrt(2.0)), (x.shape[-1], H * C))
+        h = x @ w  # flat [T, H*C]
+        attn_l = self.param("attn_l", xavier_normal_gain(np.sqrt(2.0)), (1, H, C))
+        attn_r = self.param("attn_r", xavier_normal_gain(np.sqrt(2.0)), (1, H, C))
+        el = (h.reshape(-1, H, C) * attn_l).sum(-1)  # [T, H]
+        er = (h.reshape(-1, H, C) * attn_r).sum(-1)
+        alpha = gather_rows(el, g.node) + gather_rows(er, g.edge)
+        alpha = nn.leaky_relu(alpha, self.negative_slope)
+        alpha = segment_softmax(alpha, g.edge, g.num_edges, mask=g.mask)
+        alpha = nn.Dropout(self.attn_drop)(alpha, deterministic=not train)
+        msg = gather_rows(h, g.node) * jnp.repeat(alpha, C, axis=1)
+        out = segment_sum(msg, g.edge, g.num_edges)
+        if self.use_elu:
+            out = nn.elu(out)
+        return out  # [T, H*C]
+
+
+class SemanticAttention(nn.Module):
+    """softmax over metapaths of a projected mean score
+    (``DGL_HAN/model.py:7-22``)."""
+
+    hidden_size: int = 128
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        # z: [T, P, D]
+        w = TorchDense(self.hidden_size, name="proj1")(z)
+        w = jnp.tanh(w)
+        w = TorchDense(1, use_bias=False, name="proj2")(w)  # [T, P, 1]
+        beta = jax.nn.softmax(w.mean(axis=0), axis=0)  # [P, 1]
+        return (beta[None] * z).sum(axis=1)  # [T, D]
+
+
+@dataclasses.dataclass(frozen=True)
+class HANConfig:
+    num_features: int
+    num_classes: int
+    hidden_units: int = 8
+    num_heads: Tuple[int, ...] = (8,)
+    dropout: float = 0.6
+
+
+class HAN(nn.Module):
+    cfg: HANConfig
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> Array:
+        """batch.extras carries the flattened VEV/EVE graphs."""
+        c = self.cfg
+        graphs = []
+        for name in ("vev", "eve"):
+            graphs.append(
+                Incidence(
+                    node=batch.extras[f"{name}_node"],
+                    edge=batch.extras[f"{name}_edge"],
+                    norm=batch.extras[f"{name}_norm"],
+                    mask=batch.extras[f"{name}_mask"],
+                    num_nodes=batch.num_nodes,
+                    num_edges=batch.num_nodes,
+                    nnz=int(batch.extras[f"{name}_node"].shape[0]),
+                )
+            )
+        h = batch.x
+        for li, heads in enumerate(c.num_heads):
+            embeds = []
+            for gi, g in enumerate(graphs):
+                embeds.append(
+                    DGLGATConv(
+                        out_channels=c.hidden_units,
+                        heads=heads,
+                        feat_drop=c.dropout,
+                        attn_drop=c.dropout,
+                        name=f"gat_l{li}_p{gi}",
+                    )(g, h, train)
+                )
+            z = jnp.stack(embeds, axis=1)  # [T, P, D*K]
+            h = SemanticAttention(name=f"sem_l{li}")(z)
+        return TorchDense(c.num_classes, name="predict")(h)
+
+
+def han_extras(vev: Incidence, eve: Incidence) -> dict:
+    out = {}
+    for name, g in (("vev", vev), ("eve", eve)):
+        out[f"{name}_node"] = g.node
+        out[f"{name}_edge"] = g.edge
+        out[f"{name}_norm"] = g.norm
+        out[f"{name}_mask"] = g.mask
+    return out

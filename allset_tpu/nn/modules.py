@@ -126,6 +126,15 @@ class PMA(nn.Module):
     num_layers: int
     heads: int = 1
     negative_slope: float = 0.2
+    # 'global': one global max per head stabilizes the softmax — exactly
+    # softmax in real arithmetic (shift invariance); differs from the
+    # per-segment-max form only if a segment's scores sit >87 nats below
+    # the global max (f32 exp underflow), which trained attention logits
+    # never approach. Avoids every [nnz, 8]-minor segment op — the
+    # pathological XLA-TPU shape (see tpu layout note below).
+    # 'segment': the reference's per-segment max (PyG softmax) — exact
+    # parity mode.
+    softmax_mode: str = "global"
 
     @nn.compact
     def __call__(
@@ -140,30 +149,57 @@ class PMA(nn.Module):
     ) -> Array:
         H = self.heads
         C = self.hid_dim // H
+        HC = H * C
 
-        x_K = TorchDense(H * C, kernel_init=glorot_uniform(), name="lin_K")(x)
-        x_V = TorchDense(H * C, kernel_init=glorot_uniform(), name="lin_V")(x)
+        x_K = TorchDense(HC, kernel_init=glorot_uniform(), name="lin_K")(x)
+        x_V = TorchDense(HC, kernel_init=glorot_uniform(), name="lin_V")(x)
 
         att_r = self.param("att_r", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
-        # TPU layout note: everything stays 2-D [rows, H*C]. A [nnz, H, C]
-        # 3-D layout puts C=hid/heads on the 128-lane minor dim and measures
-        # ~7x slower through XLA's gather/scatter tiling; per-head semantics
-        # are preserved by head-blockwise reduction/broadcast on the flat
-        # axis (flatten order is head-major, matching reshape(-1, H, C)).
-        alpha = (x_K.reshape(-1, H, C) * att_r).sum(axis=-1)  # [N, H]
-
-        a_j = gather_rows(alpha, src)  # [nnz, H]
-        x_j = gather_rows(x_V, src)  # [nnz, H*C]
-        a_j = nn.leaky_relu(a_j, self.negative_slope)
-        a_j = segment_softmax(
-            a_j, dst, num_segments, mask=mask, indices_are_sorted=indices_are_sorted
+        att_flat = att_r.reshape(HC)
+        # TPU layout note: everything stays 2-D with >=128-wide minor dims.
+        # [rows, H, C] layouts (C on the lanes) and [rows, H] segment ops
+        # both measure ~10-100x slower through XLA-TPU gather/scatter/reduce
+        # tiling. So: (1) the per-head seed scores alpha = sum_c K[:,h,c] *
+        # att_r[h,c] become one MXU GEMM against a block-diagonal [HC, H]
+        # expansion of the seed; (2) alpha rides along in the value gather
+        # (one [nnz, HC+H] gather); (3) the softmax denominator rides along
+        # in the flat segment-sum (one [nnz, HC+H] reduce).
+        blk = (
+            jax.lax.broadcasted_iota(jnp.int32, (HC, H), 0) // C
+            == jax.lax.broadcasted_iota(jnp.int32, (HC, H), 1)
         )
-        out = segment_sum(
-            x_j * jnp.repeat(a_j, C, axis=1),
-            dst, num_segments, indices_are_sorted=indices_are_sorted,
-        )  # [M, H*C]
+        proj = jnp.where(blk, att_flat[:, None], 0.0)
+        alpha = x_K @ proj  # [N, H]
 
-        out = out + att_r.reshape(1, H * C)  # seed + multihead (src/layers.py:153)
+        packed = jnp.concatenate([x_V, alpha], axis=1)  # [N, HC+H]
+        g = gather_rows(packed, src)
+        x_j, a_j = g[:, :HC], g[:, HC:]
+        a_j = nn.leaky_relu(a_j, self.negative_slope)
+
+        if self.softmax_mode == "segment":
+            p = segment_softmax(
+                a_j, dst, num_segments, mask=mask,
+                indices_are_sorted=indices_are_sorted,
+            )
+            out = segment_sum(
+                x_j * jnp.repeat(p, C, axis=1), dst, num_segments,
+                indices_are_sorted=indices_are_sorted,
+            )
+        else:
+            neg = jnp.asarray(-1e30, a_j.dtype)
+            a_masked = jnp.where(mask[:, None], a_j, neg)
+            gmax = jax.lax.stop_gradient(jnp.max(a_masked, axis=0))  # [H]
+            gmax = jnp.maximum(gmax, 0.0)  # all-masked guard (keeps exp finite)
+            e = jnp.exp(a_j - gmax[None, :])
+            e = jnp.where(mask[:, None], e, 0.0)
+            fused = jnp.concatenate([x_j * jnp.repeat(e, C, axis=1), e], axis=1)
+            agg = segment_sum(
+                fused, dst, num_segments, indices_are_sorted=indices_are_sorted
+            )  # [M, HC+H]
+            denom = jnp.maximum(jnp.repeat(agg[:, HC:], C, axis=1), 1e-16)
+            out = agg[:, :HC] / denom
+
+        out = out + att_flat[None, :]  # seed + multihead (src/layers.py:153)
         out = nn.LayerNorm(epsilon=LN_EPS, name="ln0")(out)
         rff = MLP(
             hidden_channels=H * C,

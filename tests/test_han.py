@@ -1,0 +1,69 @@
+"""HAN vertical tests: metapath construction + model + early-stopped
+training (the DGL_HAN pipeline, SURVEY.md §2.2 last row)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from allset_tpu.data.synthetic import synthetic_hypergraph
+from allset_tpu.graph.batch import Batch
+from allset_tpu.graph.metapath import build_metapath_graphs
+from allset_tpu.models.han import HAN, HANConfig, han_extras
+from allset_tpu.train.han_trainer import HANTrainConfig, train_han
+from allset_tpu.utils.checkpoint import EarlyStopping
+
+
+def test_metapath_blocks():
+    hd = synthetic_hypergraph(num_nodes=50, num_hyperedges=20, seed=0)
+    feats, labels, vev, eve = build_metapath_graphs(hd, bucket=64)
+    T = hd.num_nodes + hd.num_hyperedges
+    assert feats.shape == (T, hd.num_features)
+    assert labels.shape == (T,)
+    assert np.all(labels[hd.num_nodes:] == -1)
+    # VEV entries live in the V block, EVE in the E block
+    vn, ve = np.asarray(vev.node)[np.asarray(vev.mask)], np.asarray(vev.edge)[np.asarray(vev.mask)]
+    assert vn.max() < hd.num_nodes and ve.max() < hd.num_nodes
+    en, ee = np.asarray(eve.node)[np.asarray(eve.mask)], np.asarray(eve.edge)[np.asarray(eve.mask)]
+    assert en.min() >= hd.num_nodes and ee.min() >= hd.num_nodes
+    # VEV connectivity matches dense two-step reachability
+    H = np.zeros((hd.num_nodes, hd.num_hyperedges))
+    H[hd.node, hd.edge] = 1
+    vev_dense = (H @ H.T) > 0
+    got = np.zeros_like(vev_dense)
+    got[vn, ve] = True
+    np.testing.assert_array_equal(got, vev_dense)
+
+
+def test_han_trains_and_learns():
+    hd = synthetic_hypergraph(
+        num_nodes=100, num_hyperedges=40, num_classes=3,
+        homophily=0.9, feature_noise=0.4, seed=1,
+    )
+    feats, labels, vev, eve = build_metapath_graphs(hd, bucket=64)
+    batch = Batch(
+        x=jnp.asarray(feats), y=jnp.asarray(labels, jnp.int32),
+        inc=None, extras=han_extras(vev, eve),
+    )
+    cfg = HANConfig(
+        num_features=hd.num_features, num_classes=3,
+        hidden_units=8, num_heads=(4,), dropout=0.3,
+    )
+    res = train_han(
+        HAN(cfg), batch, hd.num_nodes,
+        HANTrainConfig(num_epochs=60, runs=2, patience=30, seed=0),
+    )
+    assert res["test_acc_mean"] > 55.0, res
+    assert 0 <= res["macro_f1_mean"] <= 100
+
+
+def test_early_stopping_rules():
+    es = EarlyStopping(patience=2)
+    assert not es.step(1.0, 0.5, {"w": 1})
+    # loss up AND acc down -> strike
+    assert not es.step(1.1, 0.4, {"w": 2})
+    # improvement resets counter and snapshots
+    assert not es.step(0.9, 0.6, {"w": 3})
+    assert es.best_params == {"w": 3}
+    assert not es.step(1.2, 0.5, {"w": 4})
+    assert es.step(1.3, 0.4, {"w": 5})  # second strike -> stop
+    assert es.restore() == {"w": 3}

@@ -201,3 +201,26 @@ def test_setgnn_jit_and_grad(rng):
     # gradients flow to the attention seed and K/V projections
     assert float(jnp.abs(g["V2E_0"]["prop"]["att_r"]).sum()) > 0
     assert float(jnp.abs(g["V2E_0"]["prop"]["lin_K"]["kernel"]).sum()) > 0
+
+
+def test_pma_softmax_modes_agree(rng):
+    """The 'global' stabilizer must match the reference 'segment' form to
+    float precision for realistic score magnitudes."""
+    n, m, hid = 40, 15, 64
+    nnz = 150
+    src = rng.integers(0, n, size=nnz).astype(np.int32)
+    dst = np.sort(rng.integers(0, m, size=nnz)).astype(np.int32)
+    x = (rng.normal(size=(n, 12)) * 3).astype(np.float32)
+    mask = np.ones(nnz, dtype=bool)
+
+    outs = {}
+    for mode in ("segment", "global"):
+        pma = PMA(hid_dim=hid, out_dim=hid, num_layers=2, heads=4, softmax_mode=mode)
+        variables = pma.init(
+            jax.random.PRNGKey(7),
+            jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), m, jnp.asarray(mask),
+        )
+        outs[mode] = np.asarray(
+            pma.apply(variables, jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), m, jnp.asarray(mask))
+        )
+    np.testing.assert_allclose(outs["segment"], outs["global"], rtol=1e-4, atol=1e-5)
