@@ -178,3 +178,77 @@ def hypergcn_extras(struct: Incidence) -> Dict[str, Array]:
         "hypergcn_norm": struct.norm,
         "hypergcn_mask": struct.mask,
     }
+
+
+class HyperGCNReapprox(nn.Module):
+    """The reference's slow path (``HyperGCN_fast=False``): the Laplacian is
+    re-approximated from the CURRENT layer activations on the host every
+    forward (``src/utils.py:39-41``). Reproduced with ``jax.pure_callback``
+    into a statically padded COO (``laplacian_nnz_bound``); inherently a
+    host-side perf cliff, kept for capability parity — the factory defaults
+    to the fast path as the reference does (``src/train.py:285``).
+    """
+
+    cfg: HyperGCNConfig
+    edge_dict: dict  # static: hyperedge -> member nodes
+    seed: int = 0
+
+    def _structure(self, h: Array, num_nodes: int, layer_idx: int) -> Incidence:
+        bound = laplacian_nnz_bound(self.edge_dict, num_nodes, self.cfg.mediators)
+        from allset_tpu.graph.incidence import pad_bucket
+
+        npad = pad_bucket(bound, 256)
+
+        def host_build(hw):
+            rng = np.random.default_rng(self.seed + layer_idx)
+            rows, cols, vals = _laplacian_coo(
+                num_nodes, self.edge_dict, np.asarray(hw, np.float32),
+                self.cfg.mediators, rng,
+            )
+            order = np.argsort(cols, kind="stable")
+            rows, cols, vals = rows[order], cols[order], vals[order]
+            k = len(rows)
+            out_r = np.full(npad, num_nodes, np.int32)
+            out_c = np.full(npad, num_nodes, np.int32)
+            out_v = np.zeros(npad, np.float32)
+            out_r[:k] = rows
+            out_c[:k] = cols
+            out_v[:k] = vals
+            return out_r, out_c, out_v
+
+        shapes = (
+            jax.ShapeDtypeStruct((npad,), jnp.int32),
+            jax.ShapeDtypeStruct((npad,), jnp.int32),
+            jax.ShapeDtypeStruct((npad,), jnp.float32),
+        )
+        # vmap_method='sequential': the Trainer vmaps runs; the host rebuild
+        # must execute once per run, serially.
+        rows, cols, vals = jax.pure_callback(
+            host_build, shapes, h, vmap_method="sequential"
+        )
+        return Incidence(
+            node=rows, edge=cols, norm=vals,
+            mask=vals != 0.0,
+            num_nodes=num_nodes, num_edges=num_nodes, nnz=npad,
+        )
+
+    @nn.compact
+    def __call__(self, batch: Batch, train: bool = False) -> Array:
+        c = self.cfg
+        h = batch.x
+        n = batch.num_nodes
+        widths = c.widths()[1:]
+        for i, w in enumerate(widths):
+            std = 1.0 / np.sqrt(w)
+            W = self.param(f"W{i}", uniform_symmetric(std), (h.shape[-1], w))
+            b = self.param(f"bias{i}", uniform_symmetric(std), (w,))
+            hw = h @ W
+            struct = self._structure(
+                jax.lax.stop_gradient(hw), n, i
+            )  # host reapprox from activations
+            msg = gather_rows(hw, struct.node) * struct.norm[:, None]
+            h = segment_sum(msg, struct.edge, n, indices_are_sorted=True) + b
+            h = nn.relu(h)
+            if i < len(widths) - 1:
+                h = nn.Dropout(c.dropout)(h, deterministic=not train)
+        return h

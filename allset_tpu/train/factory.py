@@ -175,20 +175,30 @@ def prepare(
 
     elif method == "HyperGCN":
         he_dict = hypergcn_edge_dict(data)
-        struct = build_hypergcn_laplacian(
-            data.num_nodes, he_dict, data.x,
-            mediators=cfg.hypergcn_mediators, seed=cfg.seed, bucket=cfg.bucket,
-        )
-        batch = Batch(
-            x=jnp.asarray(data.x), y=jnp.asarray(data.y, jnp.int32),
-            inc=None, extras=hypergcn_extras(struct),
-        )
-        model = HyperGCN(HyperGCNConfig(
+        mcfg = HyperGCNConfig(
             num_features=num_features, num_classes=num_classes,
             all_num_layers=cfg.all_num_layers, dropout=cfg.dropout,
             mediators=cfg.hypergcn_mediators, fast=cfg.hypergcn_fast,
             dname=cfg.dname,
-        ))
+        )
+        if cfg.hypergcn_fast:
+            struct = build_hypergcn_laplacian(
+                data.num_nodes, he_dict, data.x,
+                mediators=cfg.hypergcn_mediators, seed=cfg.seed, bucket=cfg.bucket,
+            )
+            batch = Batch(
+                x=jnp.asarray(data.x), y=jnp.asarray(data.y, jnp.int32),
+                inc=None, extras=hypergcn_extras(struct),
+            )
+            model = HyperGCN(mcfg)
+        else:
+            from allset_tpu.models.hypergcn import HyperGCNReapprox
+
+            batch = Batch(
+                x=jnp.asarray(data.x), y=jnp.asarray(data.y, jnp.int32),
+                inc=None, extras={},
+            )
+            model = HyperGCNReapprox(mcfg, edge_dict=he_dict, seed=cfg.seed)
 
     elif method in ("HCHA", "HGNN"):
         d = add_self_loops(data) if cfg.add_self_loop else data

@@ -76,3 +76,15 @@ def test_unignn_all_convs_forward(name):
     model, batch, tx = prepare(cfg, data)
     res = Trainer(model, batch, TrainConfig(epochs=5, runs=1, lr=0.01), tx=tx).fit()
     assert np.all(np.isfinite(res.metrics))
+
+
+def test_hypergcn_reapprox_slow_path():
+    """HyperGCN_fast=False: Laplacian rebuilt from activations each forward
+    via host callback (reference src/utils.py:39-41)."""
+    data = make_data()
+    cfg = ExperimentConfig(
+        method="HyperGCN", hypergcn_fast=False, all_num_layers=2, bucket=64,
+    )
+    model, batch, tx = prepare(cfg, data)
+    res = Trainer(model, batch, TrainConfig(epochs=15, runs=1, lr=0.01), tx=tx).fit()
+    assert np.all(np.isfinite(res.metrics))
