@@ -54,6 +54,9 @@ class SetGNNConfig:
     pma: bool = True
     gpr: bool = False
     learn_mask: bool = False
+    # 'float32' (default, parity) or 'bfloat16' (mixed precision: bf16
+    # activations/GEMMs/sparse traffic, f32 params + softmax + layer stats)
+    dtype: str = "float32"
 
     @classmethod
     def all_deep_sets(cls, **kw) -> "SetGNNConfig":
@@ -64,6 +67,12 @@ class SetGNNConfig:
 
 class SetGNN(nn.Module):
     cfg: SetGNNConfig
+
+    @property
+    def _dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else None
 
     def _half_conv(self, in_is_first: bool, name: str) -> HalfNLHconv:
         c = self.cfg
@@ -76,6 +85,7 @@ class SetGNN(nn.Module):
             input_norm=c.deepset_input_norm,
             heads=c.heads,
             attention=c.pma,
+            dtype=self._dtype,
             name=name,
         )
 
@@ -98,8 +108,9 @@ class SetGNN(nn.Module):
                 dropout=c.dropout,
                 normalization=c.normalization,
                 input_norm=False,
+                dtype=self._dtype,
                 name="classifier",
-            )(x, train)
+            )(x, train).astype(jnp.float32)
 
         classifier = MLP(
             hidden_channels=c.classifier_hidden,
@@ -108,6 +119,7 @@ class SetGNN(nn.Module):
             dropout=c.dropout,
             normalization=c.normalization,
             input_norm=False,
+            dtype=self._dtype,
             name="classifier",
         )
 
@@ -163,7 +175,7 @@ class SetGNN(nn.Module):
             stacked = jnp.stack(xs, axis=-1)  # [N, hid, L+1]
             weights = TorchDense(1, use_bias=False, name="GPRweights")
             h = weights(stacked).squeeze(-1)
-            return classifier(h, train)
+            return classifier(h, train).astype(jnp.float32)
 
         h = nn.Dropout(0.2)(x, deterministic=not train)  # fixed input dropout
         for i in range(c.all_num_layers):
@@ -171,4 +183,4 @@ class SetGNN(nn.Module):
             h = drop(h, deterministic=not train)
             h = nn.relu(e2v(i, h))
             h = drop(h, deterministic=not train)
-        return classifier(h, train)
+        return classifier(h, train).astype(jnp.float32)

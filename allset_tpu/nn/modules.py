@@ -42,24 +42,30 @@ class TorchDense(nn.Module):
     features: int
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype; params stay float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         fan_in = x.shape[-1]
         kinit = self.kernel_init if self.kernel_init is not None else torch_linear_kernel()
         kernel = self.param("kernel", kinit, (fan_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = x @ kernel
         if self.use_bias:
             bias = self.param("bias", torch_linear_bias(fan_in), (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
 class NormLayer(nn.Module):
     """'bn' | 'ln' | 'None' normalization (reference MLP's per-layer
-    normalizations, ``src/layers.py:506-560``)."""
+    normalizations, ``src/layers.py:506-560``). Statistics always compute
+    in float32; ``dtype`` controls the output/activation dtype."""
 
     kind: str
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
@@ -68,9 +74,10 @@ class NormLayer(nn.Module):
                 use_running_average=not train,
                 momentum=BN_MOMENTUM,
                 epsilon=LN_EPS,
+                dtype=self.dtype,
             )(x)
         if self.kind == "ln":
-            return nn.LayerNorm(epsilon=LN_EPS)(x)
+            return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype)(x)
         if self.kind in ("None", "none", None):
             return x
         raise ValueError(f"unknown normalization {self.kind!r}")
@@ -91,17 +98,18 @@ class MLP(nn.Module):
     dropout: float = 0.5
     normalization: str = "bn"
     input_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         if self.input_norm:
-            x = NormLayer(self.normalization, name="input_norm")(x, train)
+            x = NormLayer(self.normalization, dtype=self.dtype, name="input_norm")(x, train)
         for i in range(self.num_layers - 1):
-            x = TorchDense(self.hidden_channels, name=f"lin{i}")(x)
+            x = TorchDense(self.hidden_channels, dtype=self.dtype, name=f"lin{i}")(x)
             x = nn.relu(x)
-            x = NormLayer(self.normalization, name=f"norm{i}")(x, train)
+            x = NormLayer(self.normalization, dtype=self.dtype, name=f"norm{i}")(x, train)
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
-        x = TorchDense(self.out_channels, name=f"lin{self.num_layers - 1}")(x)
+        x = TorchDense(self.out_channels, dtype=self.dtype, name=f"lin{self.num_layers - 1}")(x)
         return x
 
 
@@ -126,6 +134,7 @@ class PMA(nn.Module):
     num_layers: int
     heads: int = 1
     negative_slope: float = 0.2
+    dtype: Optional[jnp.dtype] = None  # activation dtype; exp/softmax in f32
     # 'global': one global max per head stabilizes the softmax — exactly
     # softmax in real arithmetic (shift invariance); differs from the
     # per-segment-max form only if a segment's scores sit >87 nats below
@@ -151,8 +160,8 @@ class PMA(nn.Module):
         C = self.hid_dim // H
         HC = H * C
 
-        x_K = TorchDense(HC, kernel_init=glorot_uniform(), name="lin_K")(x)
-        x_V = TorchDense(HC, kernel_init=glorot_uniform(), name="lin_V")(x)
+        x_K = TorchDense(HC, kernel_init=glorot_uniform(), dtype=self.dtype, name="lin_K")(x)
+        x_V = TorchDense(HC, kernel_init=glorot_uniform(), dtype=self.dtype, name="lin_V")(x)
 
         att_r = self.param("att_r", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
         att_flat = att_r.reshape(HC)
@@ -169,11 +178,11 @@ class PMA(nn.Module):
             == jax.lax.broadcasted_iota(jnp.int32, (HC, H), 1)
         )
         proj = jnp.where(blk, att_flat[:, None], 0.0)
-        alpha = x_K @ proj  # [N, H]
+        alpha = (x_K @ proj.astype(x_K.dtype)).astype(jnp.float32)  # [N, H]
 
-        packed = jnp.concatenate([x_V, alpha], axis=1)  # [N, HC+H]
+        packed = jnp.concatenate([x_V, alpha.astype(x_V.dtype)], axis=1)  # [N, HC+H]
         g = gather_rows(packed, src)
-        x_j, a_j = g[:, :HC], g[:, HC:]
+        x_j, a_j = g[:, :HC], g[:, HC:].astype(jnp.float32)
         a_j = nn.leaky_relu(a_j, self.negative_slope)
 
         if self.softmax_mode == "segment":
@@ -182,20 +191,20 @@ class PMA(nn.Module):
                 indices_are_sorted=indices_are_sorted,
             )
             out = segment_sum(
-                x_j * jnp.repeat(p, C, axis=1), dst, num_segments,
+                x_j * jnp.repeat(p, C, axis=1).astype(x_j.dtype), dst, num_segments,
                 indices_are_sorted=indices_are_sorted,
-            )
+            ).astype(jnp.float32)
         else:
             neg = jnp.asarray(-1e30, a_j.dtype)
             a_masked = jnp.where(mask[:, None], a_j, neg)
             gmax = jax.lax.stop_gradient(jnp.max(a_masked, axis=0))  # [H]
             gmax = jnp.maximum(gmax, 0.0)  # all-masked guard (keeps exp finite)
             e = jnp.exp(a_j - gmax[None, :])
-            e = jnp.where(mask[:, None], e, 0.0)
+            e = jnp.where(mask[:, None], e, 0.0).astype(x_j.dtype)
             fused = jnp.concatenate([x_j * jnp.repeat(e, C, axis=1), e], axis=1)
             agg = segment_sum(
                 fused, dst, num_segments, indices_are_sorted=indices_are_sorted
-            )  # [M, HC+H]
+            ).astype(jnp.float32)  # [M, HC+H]
             denom = jnp.maximum(jnp.repeat(agg[:, HC:], C, axis=1), 1e-16)
             out = agg[:, :HC] / denom
 
@@ -207,9 +216,12 @@ class PMA(nn.Module):
             num_layers=self.num_layers,
             dropout=0.0,
             normalization="None",
+            dtype=self.dtype,
             name="rFF",
         )
-        out = nn.LayerNorm(epsilon=LN_EPS, name="ln1")(out + nn.relu(rff(out, train)))
+        out = nn.LayerNorm(epsilon=LN_EPS, name="ln1")(
+            out + nn.relu(rff(out, train)).astype(out.dtype)
+        )
         return out
 
 
@@ -232,6 +244,7 @@ class HalfNLHconv(nn.Module):
     input_norm: bool = False
     heads: int = 1
     attention: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -252,6 +265,7 @@ class HalfNLHconv(nn.Module):
                 out_dim=self.out_dim,
                 num_layers=self.num_layers,
                 heads=self.heads,
+                dtype=self.dtype,
                 name="prop",
             )(x, src, dst, num_segments, mask, train, indices_are_sorted)
 
@@ -263,6 +277,7 @@ class HalfNLHconv(nn.Module):
                 dropout=self.dropout,
                 normalization=self.normalization,
                 input_norm=self.input_norm,
+                dtype=self.dtype,
                 name="f_enc",
             )(x, train)
         x = nn.relu(x)
@@ -279,6 +294,7 @@ class HalfNLHconv(nn.Module):
                 dropout=self.dropout,
                 normalization=self.normalization,
                 input_norm=self.input_norm,
+                dtype=self.dtype,
                 name="f_dec",
             )(x, train)
         x = nn.relu(x)

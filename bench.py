@@ -47,6 +47,7 @@ def build(num_nodes, num_hyperedges, avg_edge_size, hidden, heads, seed=0):
         classifier_num_layers=1,
         heads=heads,
         dropout=0.0,
+        dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
     )
     model = SetGNN(cfg)
     return model, batch

@@ -74,3 +74,17 @@ def test_bn_normalization_trains():
     )
     res = Trainer(SetGNN(cfg), batch, TrainConfig(epochs=20, runs=2, lr=0.01)).fit()
     assert np.all(np.isfinite(res.metrics))
+
+
+def test_bfloat16_mixed_precision_learns():
+    """bf16 activations / f32 params+softmax: the production TPU config."""
+    batch, hd = make_batch()
+    cfg = SetGNNConfig(
+        num_features=hd.num_features, num_classes=hd.num_classes,
+        all_num_layers=1, mlp_hidden=32, classifier_hidden=32,
+        classifier_num_layers=1, heads=4, dtype="bfloat16",
+    )
+    res = Trainer(SetGNN(cfg), batch, TrainConfig(epochs=60, runs=2, lr=0.01)).fit()
+    assert np.all(np.isfinite(res.metrics))
+    mean_test, _ = res.best_by_valid()["final_test"]
+    assert mean_test > 60.0, f"bf16 failed to learn: {mean_test}"
