@@ -135,6 +135,75 @@ class HAN(nn.Module):
         return TorchDense(c.num_classes, name="predict")(h)
 
 
+class BlockGATConv(nn.Module):
+    """GAT over a sampled block: each seed attends over its fixed-size
+    [K+1] neighbor set — the dense, regular-shape form of DGL's
+    block-GATConv used by the sampled trainer
+    (``DGL_HAN/train_sampling.py:28-90``)."""
+
+    out_channels: int
+    heads: int
+    feat_drop: float = 0.0
+    attn_drop: float = 0.0
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, h_src: Array, h_dst: Array, mask: Array, train: bool = False) -> Array:
+        # h_src: [B, K1, F], h_dst: [B, F], mask: [B, K1]
+        H, C = self.heads, self.out_channels
+        h_src = nn.Dropout(self.feat_drop)(h_src, deterministic=not train)
+        h_dst = nn.Dropout(self.feat_drop)(h_dst, deterministic=not train)
+        w = self.param("fc", xavier_normal_gain(np.sqrt(2.0)), (h_src.shape[-1], H * C))
+        attn_l = self.param("attn_l", xavier_normal_gain(np.sqrt(2.0)), (1, H, C))
+        attn_r = self.param("attn_r", xavier_normal_gain(np.sqrt(2.0)), (1, H, C))
+
+        zs = h_src @ w  # [B, K1, H*C]
+        zd = h_dst @ w  # [B, H*C]
+        B, K1 = zs.shape[0], zs.shape[1]
+        el = (zs.reshape(B, K1, H, C) * attn_l[None]).sum(-1)  # [B, K1, H]
+        er = (zd.reshape(B, H, C) * attn_r).sum(-1)  # [B, H]
+        scores = nn.leaky_relu(el + er[:, None, :], self.negative_slope)
+        scores = jnp.where(mask[..., None], scores, -1e30)
+        alpha = jax.nn.softmax(scores, axis=1)
+        alpha = jnp.where(mask[..., None], alpha, 0.0)
+        alpha = nn.Dropout(self.attn_drop)(alpha, deterministic=not train)
+        out = jnp.einsum("bkh,bkhc->bhc", alpha, zs.reshape(B, K1, H, C))
+        return nn.elu(out.reshape(B, H * C))
+
+
+class SampledHAN(nn.Module):
+    """Mini-batch HAN over sampled blocks (``DGL_HAN/train_sampling.py``):
+    per metapath a BlockGATConv, then semantic attention, then predict.
+    Inputs are the per-block gathered features (device-side gather from
+    the full table replaces the reference's host-side load_subtensors)."""
+
+    cfg: HANConfig
+
+    @nn.compact
+    def __call__(self, x_full: Array, seeds: Array, blocks: dict, train: bool = False) -> Array:
+        c = self.cfg
+        h_dst = jnp.take(x_full, seeds, axis=0, mode="clip")
+        embeds = []
+        for gi, name in enumerate(("vev", "eve")):
+            src = blocks[f"{name}_src"]  # [B, K1]
+            mask = blocks[f"{name}_mask"]
+            h_src = jnp.take(x_full, src.reshape(-1), axis=0, mode="clip").reshape(
+                src.shape + (x_full.shape[-1],)
+            )
+            embeds.append(
+                BlockGATConv(
+                    out_channels=c.hidden_units,
+                    heads=c.num_heads[0],
+                    feat_drop=c.dropout,
+                    attn_drop=c.dropout,
+                    name=f"gat_p{gi}",
+                )(h_src, h_dst, mask, train)
+            )
+        z = jnp.stack(embeds, axis=1)  # [B, P, D*K]
+        h = SemanticAttention(name="sem")(z)
+        return TorchDense(c.num_classes, name="predict")(h)
+
+
 def han_extras(vev: Incidence, eve: Incidence) -> dict:
     out = {}
     for name, g in (("vev", vev), ("eve", eve)):

@@ -67,3 +67,30 @@ def test_early_stopping_rules():
     assert not es.step(1.2, 0.5, {"w": 4})
     assert es.step(1.3, 0.4, {"w": 5})  # second strike -> stop
     assert es.restore() == {"w": 3}
+
+
+def test_sampled_han_minibatch():
+    """Mini-batch HAN with the random-walk sampler (train_sampling.py)."""
+    from allset_tpu.data.sampler import HANNeighborSampler
+    from allset_tpu.models.han import SampledHAN
+    from allset_tpu.train.han_trainer import HANSampleConfig, train_han_minibatch
+
+    hd = synthetic_hypergraph(
+        num_nodes=80, num_hyperedges=40, num_classes=3,
+        homophily=0.9, feature_noise=0.3, seed=2,
+    )
+    sampler = HANNeighborSampler(hd, num_neighbors=8, seed=0)
+    blocks = sampler.sample(np.arange(16))
+    assert blocks["vev"].src.shape == (16, 9)
+    assert np.all(blocks["vev"].src[:, -1] == np.arange(16))  # self loops
+    assert np.all(blocks["eve"].mask[:, :-1] == False)  # noqa: E712 ref behavior
+
+    cfg = HANConfig(num_features=hd.num_features, num_classes=3,
+                    hidden_units=8, num_heads=(2,), dropout=0.2)
+    res = train_han_minibatch(
+        SampledHAN(cfg), jnp.asarray(hd.x), jnp.asarray(hd.y, jnp.int32),
+        sampler,
+        HANSampleConfig(batch_size=16, num_neighbors=8, num_epochs=20,
+                        runs=1, patience=8, seed=0),
+    )
+    assert res["test_acc_mean"] > 45.0, res
