@@ -64,6 +64,13 @@ class Incidence:
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # CSR aux for the Pallas sorted-segment-sum kernel (ops/pallas_segment):
+    # entry offsets of each s_blk-segment output block, over edge-sorted
+    # entries; None when the incidence wasn't built with kernel support.
+    edge_block_indptr: Optional[Array] = None
+    num_edges_padded: int = dataclasses.field(default=0, metadata=dict(static=True))
+    kernel_s_blk: int = dataclasses.field(default=0, metadata=dict(static=True))
+    kernel_chunk: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def nnz_padded(self) -> int:
@@ -79,8 +86,15 @@ class Incidence:
         num_edges: Optional[int] = None,
         bucket: int = 256,
         sort_by_edge: bool = True,
+        kernel_s_blk: int = 64,
+        kernel_chunk: int = 512,
     ) -> "Incidence":
-        """Build from host-side numpy COO (unpadded, 0-based id spaces)."""
+        """Build from host-side numpy COO (unpadded, 0-based id spaces).
+
+        When ``sort_by_edge`` and kernel params are set, CSR block offsets
+        for the Pallas sorted-segment-sum are precomputed and the nnz axis
+        gets one spare chunk of padding (aligned reads may run past the
+        last entry by up to chunk-128 rows)."""
         node = np.asarray(node, dtype=np.int32)
         edge = np.asarray(edge, dtype=np.int32)
         if node.shape != edge.shape or node.ndim != 1:
@@ -99,13 +113,30 @@ class Incidence:
             order = np.argsort(edge, kind="stable")
             node, edge, norm = node[order], edge[order], norm[order]
 
-        npad = pad_bucket(nnz, bucket)
+        with_kernel = sort_by_edge and kernel_s_blk > 0
+        if with_kernel:
+            npad = pad_bucket(nnz + kernel_chunk, max(bucket, kernel_chunk))
+        else:
+            npad = pad_bucket(nnz, bucket)
         pad = npad - nnz
         if pad:
             node = np.concatenate([node, np.full(pad, num_nodes, dtype=np.int32)])
             edge = np.concatenate([edge, np.full(pad, num_edges, dtype=np.int32)])
             norm = np.concatenate([norm, np.zeros(pad, dtype=np.float32)])
         mask = np.arange(npad) < nnz
+
+        edge_block_indptr = None
+        num_edges_padded = 0
+        if with_kernel:
+            num_edges_padded = (
+                (int(num_edges) + kernel_s_blk - 1) // kernel_s_blk * kernel_s_blk
+            )
+            boundaries = np.arange(
+                0, num_edges_padded + kernel_s_blk, kernel_s_blk
+            )
+            edge_block_indptr = jnp.asarray(
+                np.searchsorted(edge, boundaries).astype(np.int32)
+            )
 
         return cls(
             node=jnp.asarray(node),
@@ -115,6 +146,10 @@ class Incidence:
             num_nodes=int(num_nodes),
             num_edges=int(num_edges),
             nnz=nnz,
+            edge_block_indptr=edge_block_indptr,
+            num_edges_padded=num_edges_padded,
+            kernel_s_blk=kernel_s_blk if with_kernel else 0,
+            kernel_chunk=kernel_chunk if with_kernel else 0,
         )
 
     def with_norm(self, norm: Array) -> "Incidence":

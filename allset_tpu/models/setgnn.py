@@ -57,6 +57,9 @@ class SetGNNConfig:
     # 'float32' (default, parity) or 'bfloat16' (mixed precision: bf16
     # activations/GEMMs/sparse traffic, f32 params + softmax + layer stats)
     dtype: str = "float32"
+    # route the edge-sorted (V->E) segment reduce through the Pallas CSR
+    # kernel when the incidence carries its aux (no-op elsewhere)
+    use_pallas: bool = True
 
     @classmethod
     def all_deep_sets(cls, **kw) -> "SetGNNConfig":
@@ -134,6 +137,7 @@ class SetGNN(nn.Module):
                 aggr=c.aggregate,
                 train=train,
                 indices_are_sorted=True,  # canonical order sorts by edge id
+                csr_inc=inc.with_norm(norm) if c.use_pallas else None,
             )
 
         def e2v(i, h):

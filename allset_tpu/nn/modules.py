@@ -24,10 +24,12 @@ from allset_tpu.nn.init import (
 )
 from allset_tpu.ops import (
     gather_rows,
+    segment_count,
     segment_reduce,
     segment_softmax,
     segment_sum,
 )
+from allset_tpu.ops.pallas_segment import segment_sum_csr
 
 Array = jax.Array
 
@@ -155,7 +157,15 @@ class PMA(nn.Module):
         mask: Array,
         train: bool = False,
         indices_are_sorted: bool = False,
+        csr_inc=None,
     ) -> Array:
+        def seg_sum(data):
+            if csr_inc is not None:
+                return segment_sum_csr(data, csr_inc)
+            return segment_sum(
+                data, dst, num_segments, indices_are_sorted=indices_are_sorted
+            )
+
         H = self.heads
         C = self.hid_dim // H
         HC = H * C
@@ -190,9 +200,8 @@ class PMA(nn.Module):
                 a_j, dst, num_segments, mask=mask,
                 indices_are_sorted=indices_are_sorted,
             )
-            out = segment_sum(
-                x_j * jnp.repeat(p, C, axis=1).astype(x_j.dtype), dst, num_segments,
-                indices_are_sorted=indices_are_sorted,
+            out = seg_sum(
+                x_j * jnp.repeat(p, C, axis=1).astype(x_j.dtype)
             ).astype(jnp.float32)
         else:
             neg = jnp.asarray(-1e30, a_j.dtype)
@@ -202,9 +211,7 @@ class PMA(nn.Module):
             e = jnp.exp(a_j - gmax[None, :])
             e = jnp.where(mask[:, None], e, 0.0).astype(x_j.dtype)
             fused = jnp.concatenate([x_j * jnp.repeat(e, C, axis=1), e], axis=1)
-            agg = segment_sum(
-                fused, dst, num_segments, indices_are_sorted=indices_are_sorted
-            ).astype(jnp.float32)  # [M, HC+H]
+            agg = seg_sum(fused).astype(jnp.float32)  # [M, HC+H]
             denom = jnp.maximum(jnp.repeat(agg[:, HC:], C, axis=1), 1e-16)
             out = agg[:, :HC] / denom
 
@@ -258,6 +265,7 @@ class HalfNLHconv(nn.Module):
         aggr: str = "add",
         train: bool = False,
         indices_are_sorted: bool = False,
+        csr_inc=None,
     ) -> Array:
         if self.attention:
             return PMA(
@@ -267,7 +275,7 @@ class HalfNLHconv(nn.Module):
                 heads=self.heads,
                 dtype=self.dtype,
                 name="prop",
-            )(x, src, dst, num_segments, mask, train, indices_are_sorted)
+            )(x, src, dst, num_segments, mask, train, indices_are_sorted, csr_inc)
 
         if self.num_layers > 0:
             x = MLP(
@@ -283,9 +291,17 @@ class HalfNLHconv(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         msgs = gather_rows(x, src) * norm[:, None].astype(x.dtype)
-        x = segment_reduce(
-            msgs, dst, num_segments, reduce=aggr, indices_are_sorted=indices_are_sorted
-        )
+        if csr_inc is not None and aggr in ("add", "sum", "mean"):
+            x = segment_sum_csr(msgs, csr_inc)
+            if aggr == "mean":
+                cnt = segment_count(dst, num_segments, indices_are_sorted)
+                x = x / jnp.maximum(cnt, 1.0)[:, None]
+        else:
+            x = segment_reduce(
+                msgs, dst, num_segments, reduce=aggr,
+                indices_are_sorted=indices_are_sorted,
+            )
+        x = x.astype(msgs.dtype)
         if self.num_layers > 0:
             x = MLP(
                 hidden_channels=self.hid_dim,

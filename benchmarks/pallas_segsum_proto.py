@@ -21,18 +21,22 @@ def make_kernel(S_BLK, CHUNK, F, nnz_pad, num_blocks):
         b = pl.program_id(0)
         start = indptr_ref[b]
         end = indptr_ref[b + 1]
-        nchunks = pl.cdiv(end - start, CHUNK)
+        # DMA offsets must be 8-row aligned: round down; entries before
+        # `start` (previous blocks' segments) self-exclude through the
+        # rel-range one-hot comparison.
+        start_al = pl.multiple_of((start // 128) * 128, 128)
+        nchunks = pl.cdiv(end - start_al, CHUNK)
 
         acc[...] = jnp.zeros_like(acc)
 
         def get_dma(slot, c):
-            off = start + c * CHUNK
+            off = pl.multiple_of(start_al + c * CHUNK, 128)
             return (
                 pltpu.make_async_copy(
                     msgs_hbm.at[pl.ds(off, CHUNK), :], msc.at[slot], sems.at[slot]
                 ),
                 pltpu.make_async_copy(
-                    dst_hbm.at[pl.ds(off, CHUNK)], dsc.at[slot], dsem.at[slot]
+                    dst_hbm.at[pl.ds(off // 128, CHUNK // 128), :], dsc.at[slot], dsem.at[slot]
                 ),
             )
 
@@ -56,17 +60,22 @@ def make_kernel(S_BLK, CHUNK, F, nnz_pad, num_blocks):
                 mc.wait()
                 dc.wait()
 
-                off = start + c * CHUNK
-                entry_ids = off + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-                valid = entry_ids < end
-                rel = dsc[slot].reshape(1, CHUNK) - b * S_BLK
-                rows = jax.lax.broadcasted_iota(jnp.int32, (S_BLK, CHUNK), 0)
-                onehot = jnp.where(
-                    (rows == rel) & valid, 1.0, 0.0
-                ).astype(jnp.float32)
+                off = start_al + c * CHUNK
+                # entry ids in (CHUNK//128, 128) blocked layout matching dsc
+                R = CHUNK // 128
+                eids = off + (
+                    128 * jax.lax.broadcasted_iota(jnp.int32, (R, 128, 1), 0)
+                    + jax.lax.broadcasted_iota(jnp.int32, (R, 128, 1), 1)
+                )
+                valid = (eids >= start) & (eids < end)
+                rel = dsc[slot][:, :, None] - b * S_BLK  # [R, 128, 1]
+                cols = jax.lax.broadcasted_iota(jnp.int32, (R, 128, S_BLK), 2)
+                onehot_t = jnp.where((cols == rel) & valid, 1.0, 0.0).astype(
+                    jnp.float32
+                ).reshape(CHUNK, S_BLK)
                 acc[...] += jax.lax.dot_general(
-                    onehot, msc[slot],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    onehot_t, msc[slot],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 return 0
@@ -87,7 +96,7 @@ def pallas_segment_sum(msgs, dst, indptr, num_segments, S_BLK=64, CHUNK=512):
         grid=(num_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # msgs stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dst in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dst in HBM, [nnz/8, 8]
         ],
         out_specs=pl.BlockSpec(
             (S_BLK, F), lambda b, ip: (b, 0), memory_space=pltpu.VMEM
@@ -95,7 +104,7 @@ def pallas_segment_sum(msgs, dst, indptr, num_segments, S_BLK=64, CHUNK=512):
         scratch_shapes=[
             pltpu.VMEM((S_BLK, F), jnp.float32),
             pltpu.VMEM((2, CHUNK, F), jnp.float32),
-            pltpu.VMEM((2, CHUNK), jnp.int32),
+            pltpu.VMEM((2, CHUNK // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -112,7 +121,7 @@ def main():
     NNZ, M, F = 1 << 19, 1 << 15, 256
     dst = np.sort(rng.integers(0, M, NNZ)).astype(np.int32)
     # pad msgs/dst to bucket; padded dst -> M (dropped by CSR since indptr stops)
-    pad = 512
+    pad = 1024
     dstp = np.concatenate([dst, np.full(pad, M, np.int32)])
     msgs = rng.normal(size=(NNZ + pad, F)).astype(np.float32)
     msgs[NNZ:] = 0
@@ -122,7 +131,8 @@ def main():
     indptr = np.searchsorted(dstp, np.arange(0, M + S_BLK, S_BLK)).astype(np.int32)
 
     msgs_j = jnp.asarray(msgs)
-    dst_j = jnp.asarray(dstp)
+    dst_flat = jnp.asarray(dstp)
+    dst_j = dst_flat.reshape(-1, 128)
     ip_j = jnp.asarray(indptr)
 
     f_pallas = jax.jit(
@@ -132,7 +142,7 @@ def main():
     jax.block_until_ready(out_p)
 
     f_xla = jax.jit(
-        lambda m: jax.ops.segment_sum(m, dst_j, num_segments=M, indices_are_sorted=True)
+        lambda m: jax.ops.segment_sum(m, dst_flat, num_segments=M, indices_are_sorted=True)
     )
     out_x = f_xla(msgs_j)
     jax.block_until_ready(out_x)
@@ -153,7 +163,7 @@ def main():
         return (time.perf_counter() - t0) / steps
 
     tp = timed(lambda m: f_pallas(m, dst_j, ip_j) if False else pallas_segment_sum(m, dst_j, ip_j, M, S_BLK, 512))
-    tx = timed(lambda m: jax.ops.segment_sum(m, dst_j, num_segments=M, indices_are_sorted=True))
+    tx = timed(lambda m: jax.ops.segment_sum(m, dst_flat, num_segments=M, indices_are_sorted=True))
     bytes_useful = (NNZ * F + M * F) * 4
     print(f"pallas: {tp*1e3:8.3f} ms  {bytes_useful/tp/1e9:7.1f} GB/s")
     print(f"xla:    {tx*1e3:8.3f} ms  {bytes_useful/tx/1e9:7.1f} GB/s")

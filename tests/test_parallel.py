@@ -77,3 +77,28 @@ def test_incidence_shards_land_on_distinct_devices():
     assert len({s.device.id for s in sbatch.x.addressable_shards}) == n_dev
     for s in sbatch.x.addressable_shards:
         assert s.data.shape == batch.x.shape
+
+
+def test_hybrid_mesh_single_process():
+    from allset_tpu.parallel.distributed import hybrid_mesh, initialize_multihost, mesh_summary
+
+    initialize_multihost(num_processes=1)  # no-op path
+    mesh = hybrid_mesh()
+    assert mesh.devices.shape == (1, 8)
+    assert "edge" in mesh.axis_names
+    assert "processes=1" in mesh_summary(mesh)
+
+    batch, hd = make_batch(bucket=64 * 8)
+    sbatch = shard_batch(batch, mesh)
+    cfg = SetGNNConfig(
+        num_features=hd.num_features, num_classes=4, heads=2,
+        mlp_hidden=32, classifier_num_layers=1,
+    )
+    model = SetGNN(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    want = np.asarray(model.apply(variables, batch, False))
+    with mesh:
+        got = np.asarray(
+            jax.jit(lambda v, b: model.apply(v, b, False))(replicate(variables, mesh), sbatch)
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
