@@ -20,6 +20,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from allset_tpu.graph import native
 from allset_tpu.graph.incidence import Incidence
 
 
@@ -79,7 +80,11 @@ def coalesce(node: np.ndarray, edge: np.ndarray):
 
     Host equivalent of ``torch_sparse.coalesce`` as used by every loader
     (reference ``src/load_other_datasets.py:95-98,178-181,273-276,368-371``).
+    Uses the native hypercore kernel when built; numpy otherwise.
     """
+    native_out = native.coalesce(node, edge)
+    if native_out is not None:
+        return native_out
     pairs = np.stack([edge, node], axis=1)
     uniq = np.unique(pairs, axis=0)
     return uniq[:, 1], uniq[:, 0]
@@ -193,7 +198,12 @@ def construct_v2v(data: HyperData):
 
     Reference ``src/preprocessing.py:343-391``. Returns (edge_index[2,P],
     weight[P]) with each pair stored once (i<j), as the reference does.
+    Uses the native hypercore kernel when built (the python path is
+    O(sum k^2) dict ops, prohibitive at walmart/yelp scale).
     """
+    native_out = native.clique_expand(data.node, data.edge, data.num_hyperedges)
+    if native_out is not None:
+        return native_out
     order = np.argsort(data.edge, kind="stable")
     nodes = data.node[order]
     edges = data.edge[order]
