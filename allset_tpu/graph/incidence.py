@@ -71,6 +71,20 @@ class Incidence:
     num_edges_padded: int = dataclasses.field(default=0, metadata=dict(static=True))
     kernel_s_blk: int = dataclasses.field(default=0, metadata=dict(static=True))
     kernel_chunk: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Node-sorted aux: a second entry ordering, sorted by node id, so the
+    # E->V reduce (and the backward of every V-side gather) also runs as a
+    # *sorted* segment-sum. node_perm maps canonical (edge-sorted) order ->
+    # node-sorted order; inv_node_perm is its inverse. Padded entries carry
+    # node == num_nodes and stable-sort to the tail in both orders.
+    node_perm: Optional[Array] = None  # i32[nnz_pad]: canonical -> node-order
+    inv_node_perm: Optional[Array] = None  # i32[nnz_pad]: node-order -> canonical
+    node_sorted: Optional[Array] = None  # i32[nnz_pad] = node[node_perm]
+    edge_by_node: Optional[Array] = None  # i32[nnz_pad] = edge[node_perm]
+    node_block_indptr: Optional[Array] = None
+    num_nodes_padded: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # static per-destination valid-entry counts (degrees) for 'mean' reduces
+    node_count: Optional[Array] = None  # f32[num_nodes]
+    edge_count: Optional[Array] = None  # f32[num_edges]
 
     @property
     def nnz_padded(self) -> int:
@@ -127,6 +141,16 @@ class Incidence:
 
         edge_block_indptr = None
         num_edges_padded = 0
+        node_aux = dict(
+            node_perm=None,
+            inv_node_perm=None,
+            node_sorted=None,
+            edge_by_node=None,
+            node_block_indptr=None,
+            num_nodes_padded=0,
+            node_count=None,
+            edge_count=None,
+        )
         if with_kernel:
             num_edges_padded = (
                 (int(num_edges) + kernel_s_blk - 1) // kernel_s_blk * kernel_s_blk
@@ -136,6 +160,32 @@ class Incidence:
             )
             edge_block_indptr = jnp.asarray(
                 np.searchsorted(edge, boundaries).astype(np.int32)
+            )
+            # node-sorted second ordering (padded entries sort last: their
+            # node id == num_nodes exceeds every valid id; stable sort)
+            nperm = np.argsort(node, kind="stable").astype(np.int32)
+            inv = np.empty_like(nperm)
+            inv[nperm] = np.arange(npad, dtype=np.int32)
+            nsorted = node[nperm]
+            num_nodes_padded = (
+                (int(num_nodes) + kernel_s_blk - 1) // kernel_s_blk * kernel_s_blk
+            )
+            nbound = np.arange(0, num_nodes_padded + kernel_s_blk, kernel_s_blk)
+            node_aux = dict(
+                node_perm=jnp.asarray(nperm),
+                inv_node_perm=jnp.asarray(inv),
+                node_sorted=jnp.asarray(nsorted),
+                edge_by_node=jnp.asarray(edge[nperm]),
+                node_block_indptr=jnp.asarray(
+                    np.searchsorted(nsorted, nbound).astype(np.int32)
+                ),
+                num_nodes_padded=num_nodes_padded,
+                node_count=jnp.asarray(
+                    np.bincount(node[:nnz], minlength=num_nodes).astype(np.float32)
+                ),
+                edge_count=jnp.asarray(
+                    np.bincount(edge[:nnz], minlength=num_edges).astype(np.float32)
+                ),
             )
 
         return cls(
@@ -150,11 +200,79 @@ class Incidence:
             num_edges_padded=num_edges_padded,
             kernel_s_blk=kernel_s_blk if with_kernel else 0,
             kernel_chunk=kernel_chunk if with_kernel else 0,
+            **node_aux,
         )
 
     def with_norm(self, norm: Array) -> "Incidence":
         """Replace the per-entry norm (e.g. LearnMask Importance * norm)."""
         return dataclasses.replace(self, norm=norm)
+
+    # --- directed views (see Direction below) ---
+
+    def v2e(self, norm: Optional[Array] = None) -> "Direction":
+        """V->E direction in the canonical (edge-sorted) entry order:
+        gather node rows, reduce by hyperedge (sorted)."""
+        return Direction(
+            src=self.node,
+            dst=self.edge,
+            norm=self.norm if norm is None else norm,
+            mask=self.mask,
+            dst_count=self.edge_count,
+            block_indptr=self.edge_block_indptr,
+            src_sorted=self.node_sorted,
+            src_block_indptr=self.node_block_indptr,
+            perm_srcsort=self.node_perm,
+            num_src=self.num_nodes,
+            num_dst=self.num_edges,
+            num_dst_padded=self.num_edges_padded,
+            num_src_padded=self.num_nodes_padded,
+            s_blk=self.kernel_s_blk,
+            chunk=self.kernel_chunk,
+        )
+
+    def e2v(self, norm: Optional[Array] = None) -> "Direction":
+        """E->V direction executed in the node-sorted entry order: gather
+        hyperedge rows, reduce by node (sorted). Per-entry inputs given in
+        canonical order (norm) are permuted on the fly ([nnz] gather)."""
+        if self.node_perm is None:
+            # no node-sorted aux: fall back to canonical order (reduce by
+            # node is then unsorted; ops detect block_indptr=None)
+            return Direction(
+                src=self.edge,
+                dst=self.node,
+                norm=self.norm if norm is None else norm,
+                mask=self.mask,
+                dst_count=self.node_count,
+                block_indptr=None,
+                src_sorted=None,
+                src_block_indptr=None,
+                perm_srcsort=None,
+                num_src=self.num_edges,
+                num_dst=self.num_nodes,
+                num_dst_padded=0,
+                num_src_padded=0,
+                s_blk=0,
+                chunk=0,
+                dst_is_sorted=False,
+            )
+        n = self.norm if norm is None else norm
+        return Direction(
+            src=self.edge_by_node,
+            dst=self.node_sorted,
+            norm=jnp.take(n, self.node_perm, axis=0),
+            mask=jnp.take(self.mask, self.node_perm, axis=0),
+            dst_count=self.node_count,
+            block_indptr=self.node_block_indptr,
+            src_sorted=self.edge,
+            src_block_indptr=self.edge_block_indptr,
+            perm_srcsort=self.inv_node_perm,
+            num_src=self.num_edges,
+            num_dst=self.num_nodes,
+            num_dst_padded=self.num_nodes_padded,
+            num_src_padded=self.num_edges_padded,
+            s_blk=self.kernel_s_blk,
+            chunk=self.kernel_chunk,
+        )
 
     # --- degree helpers (host-free, jittable) ---
 
@@ -173,3 +291,75 @@ class Incidence:
 
     def norm_ones(self) -> Array:
         return self.mask.astype(jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Direction:
+    """One directed half of the bipartite exchange, in a fixed execution
+    entry order chosen so the reduce side is SORTED:
+
+      * V->E rides the canonical edge-sorted order;
+      * E->V rides the node-sorted second order (``Incidence.node_perm``).
+
+    ``src``/``norm``/``mask`` are in execution order; ``dst`` is ascending.
+    The gather's *backward* is a segment-sum over ``src`` — served sorted
+    too, via ``perm_srcsort`` (execution order -> src-sorted order) and the
+    src-sorted CSR aux. Consumed by ``allset_tpu.ops.exchange``.
+
+    Padding contract: padded entries carry out-of-range ids and zero
+    norm/mask, and every model zeroes their message contribution, so their
+    cotangents vanish — the sorted backward may therefore drop them.
+    """
+
+    src: Array  # i32[nnz_pad] gather row ids (execution order)
+    dst: Array  # i32[nnz_pad] reduce segment ids (ascending)
+    norm: Array  # f32[nnz_pad]
+    mask: Array  # bool[nnz_pad]
+    dst_count: Optional[Array]  # f32[num_dst] valid entries per segment
+    block_indptr: Optional[Array]  # reduce-side CSR block offsets
+    src_sorted: Optional[Array]  # i32[nnz_pad] src ids, sorted (gather bwd)
+    src_block_indptr: Optional[Array]
+    perm_srcsort: Optional[Array]  # i32[nnz_pad] exec -> src-sorted order
+    num_src: int = dataclasses.field(metadata=dict(static=True))
+    num_dst: int = dataclasses.field(metadata=dict(static=True))
+    num_dst_padded: int = dataclasses.field(metadata=dict(static=True))
+    num_src_padded: int = dataclasses.field(metadata=dict(static=True))
+    s_blk: int = dataclasses.field(metadata=dict(static=True))
+    chunk: int = dataclasses.field(metadata=dict(static=True))
+    dst_is_sorted: bool = dataclasses.field(default=True, metadata=dict(static=True))
+
+    @classmethod
+    def plain(
+        cls,
+        src: Array,
+        dst: Array,
+        norm: Optional[Array] = None,
+        mask: Optional[Array] = None,
+        num_src: int = 0,
+        num_dst: int = 0,
+        dst_is_sorted: bool = False,
+    ) -> "Direction":
+        """Ad-hoc direction from raw COO arrays (no CSR aux: XLA paths)."""
+        if norm is None:
+            norm = jnp.ones(src.shape, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(src.shape, bool)
+        return cls(
+            src=src,
+            dst=dst,
+            norm=norm,
+            mask=mask,
+            dst_count=None,
+            block_indptr=None,
+            src_sorted=None,
+            src_block_indptr=None,
+            perm_srcsort=None,
+            num_src=num_src,
+            num_dst=num_dst,
+            num_dst_padded=0,
+            num_src_padded=0,
+            s_blk=0,
+            chunk=0,
+            dst_is_sorted=dst_is_sorted,
+        )

@@ -126,31 +126,31 @@ class SetGNN(nn.Module):
             name="classifier",
         )
 
+        # Two directed views over the same entry list: V2E in canonical
+        # (edge-sorted) order, E2V in the node-sorted second order — every
+        # segment reduce (fwd and gather-bwd) runs sorted (ops/exchange).
+        if c.use_pallas and inc.node_perm is not None and jax.device_count() == 1:
+            d_v2e, d_e2v = inc.v2e(norm), inc.e2v(norm)
+        else:
+            from allset_tpu.graph.incidence import Direction
+
+            d_v2e = Direction.plain(
+                inc.node, inc.edge, norm, inc.mask,
+                num_src=inc.num_nodes, num_dst=inc.num_edges, dst_is_sorted=True,
+            )
+            d_e2v = Direction.plain(
+                inc.edge, inc.node, norm, inc.mask,
+                num_src=inc.num_edges, num_dst=inc.num_nodes, dst_is_sorted=False,
+            )
+
         def v2e(i, h):
             return self._half_conv(i == 0, f"V2E_{i}")(
-                h,
-                src=inc.node,
-                dst=inc.edge,
-                norm=norm,
-                num_segments=inc.num_edges,
-                mask=inc.mask,
-                aggr=c.aggregate,
-                train=train,
-                indices_are_sorted=True,  # canonical order sorts by edge id
-                csr_inc=inc.with_norm(norm) if c.use_pallas else None,
+                h, d_v2e, aggr=c.aggregate, train=train
             )
 
         def e2v(i, h):
             return self._half_conv(False, f"E2V_{i}")(
-                h,
-                src=inc.edge,
-                dst=inc.node,
-                norm=norm,
-                num_segments=inc.num_nodes,
-                mask=inc.mask,
-                aggr=c.aggregate,
-                train=train,
-                indices_are_sorted=False,
+                h, d_e2v, aggr=c.aggregate, train=train
             )
 
         drop = nn.Dropout(c.dropout)

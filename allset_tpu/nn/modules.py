@@ -22,14 +22,9 @@ from allset_tpu.nn.init import (
     torch_linear_kernel,
     xavier_uniform_torch_fans,
 )
-from allset_tpu.ops import (
-    gather_rows,
-    segment_count,
-    segment_reduce,
-    segment_softmax,
-    segment_sum,
-)
-from allset_tpu.ops.pallas_segment import segment_sum_csr
+from allset_tpu.graph.incidence import Direction
+from allset_tpu.ops import segment_softmax
+from allset_tpu.ops.exchange import dir_gather, dir_reduce, kernel_active
 
 Array = jax.Array
 
@@ -141,8 +136,10 @@ class PMA(nn.Module):
     # softmax in real arithmetic (shift invariance); differs from the
     # per-segment-max form only if a segment's scores sit >87 nats below
     # the global max (f32 exp underflow), which trained attention logits
-    # never approach. Avoids every [nnz, 8]-minor segment op — the
-    # pathological XLA-TPU shape (see tpu layout note below).
+    # never approach. Makes exp(alpha) a PER-SOURCE quantity, so attention
+    # weighting happens on the [rows, F] source table before the gather —
+    # no [nnz, *] elementwise pass and no [nnz, H]-minor segment op (the
+    # pathological XLA-TPU shape; see tpu layout note below).
     # 'segment': the reference's per-segment max (PyG softmax) — exact
     # parity mode.
     softmax_mode: str = "global"
@@ -151,24 +148,13 @@ class PMA(nn.Module):
     def __call__(
         self,
         x: Array,
-        src: Array,
-        dst: Array,
-        num_segments: int,
-        mask: Array,
+        d: Direction,
         train: bool = False,
-        indices_are_sorted: bool = False,
-        csr_inc=None,
     ) -> Array:
-        def seg_sum(data):
-            if csr_inc is not None:
-                return segment_sum_csr(data, csr_inc)
-            return segment_sum(
-                data, dst, num_segments, indices_are_sorted=indices_are_sorted
-            )
-
         H = self.heads
         C = self.hid_dim // H
         HC = H * C
+        num_segments = d.num_dst
 
         x_K = TorchDense(HC, kernel_init=glorot_uniform(), dtype=self.dtype, name="lin_K")(x)
         x_V = TorchDense(HC, kernel_init=glorot_uniform(), dtype=self.dtype, name="lin_V")(x)
@@ -180,39 +166,45 @@ class PMA(nn.Module):
         # both measure ~10-100x slower through XLA-TPU gather/scatter/reduce
         # tiling. So: (1) the per-head seed scores alpha = sum_c K[:,h,c] *
         # att_r[h,c] become one MXU GEMM against a block-diagonal [HC, H]
-        # expansion of the seed; (2) alpha rides along in the value gather
-        # (one [nnz, HC+H] gather); (3) the softmax denominator rides along
-        # in the flat segment-sum (one [nnz, HC+H] reduce).
+        # expansion of the seed; (2) the attention weights e = exp(leaky(
+        # alpha) - globalmax) are applied at the SOURCE rows, and ride along
+        # in the value gather + flat segment-sum as H extra denominator
+        # columns (lane-padded when the Pallas reduce is active).
         blk = (
             jax.lax.broadcasted_iota(jnp.int32, (HC, H), 0) // C
             == jax.lax.broadcasted_iota(jnp.int32, (HC, H), 1)
         )
         proj = jnp.where(blk, att_flat[:, None], 0.0)
         alpha = (x_K @ proj.astype(x_K.dtype)).astype(jnp.float32)  # [N, H]
-
-        packed = jnp.concatenate([x_V, alpha.astype(x_V.dtype)], axis=1)  # [N, HC+H]
-        g = gather_rows(packed, src)
-        x_j, a_j = g[:, :HC], g[:, HC:].astype(jnp.float32)
-        a_j = nn.leaky_relu(a_j, self.negative_slope)
+        alpha = nn.leaky_relu(alpha, self.negative_slope)
 
         if self.softmax_mode == "segment":
+            packed = jnp.concatenate([x_V, alpha.astype(x_V.dtype)], axis=1)
+            g = dir_gather(packed, d)
+            x_j, a_j = g[:, :HC], g[:, HC:].astype(jnp.float32)
             p = segment_softmax(
-                a_j, dst, num_segments, mask=mask,
-                indices_are_sorted=indices_are_sorted,
+                a_j, d.dst, num_segments, mask=d.mask,
+                indices_are_sorted=d.dst_is_sorted,
             )
-            out = seg_sum(
-                x_j * jnp.repeat(p, C, axis=1).astype(x_j.dtype)
-            ).astype(jnp.float32)
+            out = dir_reduce(
+                x_j * jnp.repeat(p, C, axis=1).astype(x_j.dtype), d, "add"
+            )
         else:
-            neg = jnp.asarray(-1e30, a_j.dtype)
-            a_masked = jnp.where(mask[:, None], a_j, neg)
-            gmax = jax.lax.stop_gradient(jnp.max(a_masked, axis=0))  # [H]
-            gmax = jnp.maximum(gmax, 0.0)  # all-masked guard (keeps exp finite)
-            e = jnp.exp(a_j - gmax[None, :])
-            e = jnp.where(mask[:, None], e, 0.0).astype(x_j.dtype)
-            fused = jnp.concatenate([x_j * jnp.repeat(e, C, axis=1), e], axis=1)
-            agg = seg_sum(fused).astype(jnp.float32)  # [M, HC+H]
-            denom = jnp.maximum(jnp.repeat(agg[:, HC:], C, axis=1), 1e-16)
+            # Padded entries carry out-of-range src/dst ids: the clip-gather
+            # reads garbage rows but the reduce drops their segment, and the
+            # gather's backward drops them symmetrically — no masking needed.
+            gmax = jax.lax.stop_gradient(jnp.max(alpha, axis=0))  # [H]
+            gmax = jnp.maximum(gmax, 0.0)  # empty-table guard (keeps exp finite)
+            e = jnp.exp(alpha - gmax[None, :]).astype(x_V.dtype)  # [N, H] <= 1
+            parts = [x_V * jnp.repeat(e, C, axis=1), e]
+            if kernel_active(d, HC + H) and (HC + H) % 128 != 0:
+                # Pallas DMA needs a lane-aligned minor dim; pad the packed
+                # [values | denom] source table to the next multiple of 128
+                pad = (-(HC + H)) % 128
+                parts.append(jnp.zeros((x_V.shape[0], pad), x_V.dtype))
+            w = jnp.concatenate(parts, axis=1)  # [N, HC+H(+pad)]
+            agg = dir_reduce(dir_gather(w, d), d, "add")  # [M, ...] f32
+            denom = jnp.maximum(jnp.repeat(agg[:, HC : HC + H], C, axis=1), 1e-16)
             out = agg[:, :HC] / denom
 
         out = out + att_flat[None, :]  # seed + multihead (src/layers.py:153)
@@ -257,15 +249,9 @@ class HalfNLHconv(nn.Module):
     def __call__(
         self,
         x: Array,
-        src: Array,
-        dst: Array,
-        norm: Array,
-        num_segments: int,
-        mask: Array,
+        d: Direction,
         aggr: str = "add",
         train: bool = False,
-        indices_are_sorted: bool = False,
-        csr_inc=None,
     ) -> Array:
         if self.attention:
             return PMA(
@@ -275,7 +261,7 @@ class HalfNLHconv(nn.Module):
                 heads=self.heads,
                 dtype=self.dtype,
                 name="prop",
-            )(x, src, dst, num_segments, mask, train, indices_are_sorted, csr_inc)
+            )(x, d, train)
 
         if self.num_layers > 0:
             x = MLP(
@@ -290,18 +276,9 @@ class HalfNLHconv(nn.Module):
             )(x, train)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
-        msgs = gather_rows(x, src) * norm[:, None].astype(x.dtype)
-        if csr_inc is not None and aggr in ("add", "sum", "mean"):
-            x = segment_sum_csr(msgs, csr_inc)
-            if aggr == "mean":
-                cnt = segment_count(dst, num_segments, indices_are_sorted)
-                x = x / jnp.maximum(cnt, 1.0)[:, None]
-        else:
-            x = segment_reduce(
-                msgs, dst, num_segments, reduce=aggr,
-                indices_are_sorted=indices_are_sorted,
-            )
-        x = x.astype(msgs.dtype)
+        dtype = x.dtype
+        msgs = dir_gather(x, d) * d.norm[:, None].astype(x.dtype)
+        x = dir_reduce(msgs, d, aggr).astype(dtype)
         if self.num_layers > 0:
             x = MLP(
                 hidden_channels=self.hid_dim,

@@ -87,12 +87,19 @@ def _kernel(S_BLK, CHUNK, F, in_dtype):
                     .astype(in_dtype)
                     .reshape(CHUNK, S_BLK)
                 )
+                # bf16 x bf16 -> f32 is the MXU-native path; HIGHEST (3-pass)
+                # only applies to f32 inputs (Mosaic rejects it for bf16)
+                prec = (
+                    jax.lax.Precision.HIGHEST
+                    if in_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                )
                 acc[...] += jax.lax.dot_general(
                     onehot_t,
                     msc[slot],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )
                 return 0
 
@@ -217,6 +224,8 @@ def segment_sum_csr(msgs: Array, inc, interpret: Optional[bool] = None) -> Array
         and msgs.shape[0] == inc.nnz_padded
         and inc.nnz_padded % LANE == 0
         and inc.kernel_chunk % LANE == 0
+        # Mosaic HBM->VMEM DMA slices must be lane-aligned on the minor dim
+        and msgs.shape[1] % LANE == 0
         and msgs.dtype in (jnp.float32, jnp.bfloat16)
     )
     if interpret is None:

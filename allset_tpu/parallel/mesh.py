@@ -51,12 +51,20 @@ def shard_incidence(inc: Incidence, mesh: Mesh, axis_name: str = EDGE_AXIS) -> I
     for any power-of-two mesh up to the bucket size."""
     nnz_sharding = NamedSharding(mesh, P(axis_name))
     put = lambda a: jax.device_put(a, nnz_sharding)
+    opt = lambda a: put(a) if a is not None else None
     return dataclasses.replace(
         inc,
         node=put(inc.node),
         edge=put(inc.edge),
         norm=put(inc.norm),
         mask=put(inc.mask),
+        # node-sorted aux is single-chip-only (the mesh path keeps XLA's
+        # partitionable ops), but shard it consistently so the pytree has
+        # uniform placement
+        node_perm=opt(inc.node_perm),
+        inv_node_perm=opt(inc.inv_node_perm),
+        node_sorted=opt(inc.node_sorted),
+        edge_by_node=opt(inc.edge_by_node),
     )
 
 

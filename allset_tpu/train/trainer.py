@@ -85,6 +85,15 @@ class Trainer:
 
     def __init__(self, model, batch: Batch, cfg: TrainConfig,
                  tx: Optional[optax.GradientTransformation] = None):
+        if (
+            cfg.vmap_runs
+            and hasattr(model, "cfg")
+            and getattr(model.cfg, "use_pallas", False)
+        ):
+            # pallas_call's ANY-memory-space block specs don't lower under
+            # vmap; vmapped statistical runs take the XLA sorted path (the
+            # kernel matters on large graphs, which train sequentially)
+            model = type(model)(dataclasses.replace(model.cfg, use_pallas=False))
         self.model = model
         self.batch = batch
         self.cfg = cfg

@@ -48,6 +48,7 @@ def build(num_nodes, num_hyperedges, avg_edge_size, hidden, heads, seed=0):
         heads=heads,
         dropout=0.0,
         dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
     )
     model = SetGNN(cfg)
     return model, batch

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from allset_tpu.graph import add_self_loops, norm_construction
 from allset_tpu.graph.batch import Batch
+from allset_tpu.graph.incidence import Direction
 from allset_tpu.models.setgnn import SetGNN, SetGNNConfig
 from allset_tpu.nn.modules import MLP, PMA, HalfNLHconv
 
@@ -80,14 +81,13 @@ def test_pma_matches_dense_oracle(rng, heads):
     dst_p = np.concatenate([dst, np.full(pad, m)]).astype(np.int32)
     mask = np.arange(nnz + pad) < nnz
 
+    d = Direction.plain(
+        jnp.asarray(src_p), jnp.asarray(dst_p), mask=jnp.asarray(mask),
+        num_src=n, num_dst=m, dst_is_sorted=True,
+    )
     pma = PMA(hid_dim=hid, out_dim=hid, num_layers=2, heads=heads)
-    variables = pma.init(
-        jax.random.PRNGKey(0),
-        jnp.asarray(x), jnp.asarray(src_p), jnp.asarray(dst_p), m, jnp.asarray(mask),
-    )
-    got = np.asarray(
-        pma.apply(variables, jnp.asarray(x), jnp.asarray(src_p), jnp.asarray(dst_p), m, jnp.asarray(mask))
-    )
+    variables = pma.init(jax.random.PRNGKey(0), jnp.asarray(x), d)
+    got = np.asarray(pma.apply(variables, jnp.asarray(x), d))
     want = pma_oracle(variables["params"], x, src, dst, m, heads, hid, 2)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
@@ -102,22 +102,16 @@ def test_halfnlh_deepsets_matches_oracle(rng, aggr):
     x = rng.normal(size=(n, f)).astype(np.float32)
     mask = np.ones(nnz, dtype=bool)
 
+    d = Direction.plain(
+        jnp.asarray(src), jnp.asarray(dst), norm=jnp.asarray(norm),
+        mask=jnp.asarray(mask), num_src=n, num_dst=m, dst_is_sorted=True,
+    )
     conv = HalfNLHconv(
         hid_dim=hid, out_dim=hid, num_layers=2, dropout=0.0,
         normalization="ln", input_norm=True, attention=False,
     )
-    variables = conv.init(
-        jax.random.PRNGKey(0),
-        jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), jnp.asarray(norm),
-        m, jnp.asarray(mask), aggr,
-    )
-    got = np.asarray(
-        conv.apply(
-            variables,
-            jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), jnp.asarray(norm),
-            m, jnp.asarray(mask), aggr,
-        )
-    )
+    variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x), d, aggr)
+    got = np.asarray(conv.apply(variables, jnp.asarray(x), d, aggr))
 
     # oracle: relu(f_enc) -> propagate -> relu(f_dec), dense
     def mlp_ln(params, h, num_layers, input_norm):
@@ -213,14 +207,13 @@ def test_pma_softmax_modes_agree(rng):
     x = (rng.normal(size=(n, 12)) * 3).astype(np.float32)
     mask = np.ones(nnz, dtype=bool)
 
+    d = Direction.plain(
+        jnp.asarray(src), jnp.asarray(dst), mask=jnp.asarray(mask),
+        num_src=n, num_dst=m, dst_is_sorted=True,
+    )
     outs = {}
     for mode in ("segment", "global"):
         pma = PMA(hid_dim=hid, out_dim=hid, num_layers=2, heads=4, softmax_mode=mode)
-        variables = pma.init(
-            jax.random.PRNGKey(7),
-            jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), m, jnp.asarray(mask),
-        )
-        outs[mode] = np.asarray(
-            pma.apply(variables, jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), m, jnp.asarray(mask))
-        )
+        variables = pma.init(jax.random.PRNGKey(7), jnp.asarray(x), d)
+        outs[mode] = np.asarray(pma.apply(variables, jnp.asarray(x), d))
     np.testing.assert_allclose(outs["segment"], outs["global"], rtol=1e-4, atol=1e-5)
