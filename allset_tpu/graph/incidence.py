@@ -100,7 +100,7 @@ class Incidence:
         num_edges: Optional[int] = None,
         bucket: int = 256,
         sort_by_edge: bool = True,
-        kernel_s_blk: int = 64,
+        kernel_s_blk: int = 256,
         kernel_chunk: int = 512,
     ) -> "Incidence":
         """Build from host-side numpy COO (unpadded, 0-based id spaces).
@@ -158,8 +158,13 @@ class Incidence:
             boundaries = np.arange(
                 0, num_edges_padded + kernel_s_blk, kernel_s_blk
             )
+            # search only the VALID entries: padded entries carry id ==
+            # num_edges, which sits inside the last block when num_edges <
+            # num_edges_padded — including them would extend the last
+            # block's entry range to nnz_padded and the kernel's
+            # chunk-aligned reads would overrun the buffer (OOB DMA).
             edge_block_indptr = jnp.asarray(
-                np.searchsorted(edge, boundaries).astype(np.int32)
+                np.searchsorted(edge[:nnz], boundaries).astype(np.int32)
             )
             # node-sorted second ordering (padded entries sort last: their
             # node id == num_nodes exceeds every valid id; stable sort)
@@ -171,13 +176,15 @@ class Incidence:
                 (int(num_nodes) + kernel_s_blk - 1) // kernel_s_blk * kernel_s_blk
             )
             nbound = np.arange(0, num_nodes_padded + kernel_s_blk, kernel_s_blk)
+            # same valid-entries-only rule as edge_block_indptr above
+            # (padded entries stable-sort to the tail in node order too)
             node_aux = dict(
                 node_perm=jnp.asarray(nperm),
                 inv_node_perm=jnp.asarray(inv),
                 node_sorted=jnp.asarray(nsorted),
                 edge_by_node=jnp.asarray(edge[nperm]),
                 node_block_indptr=jnp.asarray(
-                    np.searchsorted(nsorted, nbound).astype(np.int32)
+                    np.searchsorted(nsorted[:nnz], nbound).astype(np.int32)
                 ),
                 num_nodes_padded=num_nodes_padded,
                 node_count=jnp.asarray(
@@ -222,6 +229,7 @@ class Incidence:
             src_sorted=self.node_sorted,
             src_block_indptr=self.node_block_indptr,
             perm_srcsort=self.node_perm,
+            dst_srcsort=self.edge_by_node,
             num_src=self.num_nodes,
             num_dst=self.num_edges,
             num_dst_padded=self.num_edges_padded,
@@ -247,6 +255,7 @@ class Incidence:
                 src_sorted=None,
                 src_block_indptr=None,
                 perm_srcsort=None,
+                dst_srcsort=None,
                 num_src=self.num_edges,
                 num_dst=self.num_nodes,
                 num_dst_padded=0,
@@ -266,6 +275,7 @@ class Incidence:
             src_sorted=self.edge,
             src_block_indptr=self.edge_block_indptr,
             perm_srcsort=self.inv_node_perm,
+            dst_srcsort=self.node,
             num_src=self.num_edges,
             num_dst=self.num_nodes,
             num_dst_padded=self.num_nodes_padded,
@@ -321,6 +331,10 @@ class Direction:
     src_sorted: Optional[Array]  # i32[nnz_pad] src ids, sorted (gather bwd)
     src_block_indptr: Optional[Array]
     perm_srcsort: Optional[Array]  # i32[nnz_pad] exec -> src-sorted order
+    # dst ids re-ordered into src-sorted entry order (= dst[perm_srcsort]);
+    # lets the fused spmm backward read the output-cotangent rows directly
+    # in src-sorted order — no [nnz, F] permute (ops/exchange.dir_spmm)
+    dst_srcsort: Optional[Array]
     num_src: int = dataclasses.field(metadata=dict(static=True))
     num_dst: int = dataclasses.field(metadata=dict(static=True))
     num_dst_padded: int = dataclasses.field(metadata=dict(static=True))
@@ -355,6 +369,7 @@ class Direction:
             src_sorted=None,
             src_block_indptr=None,
             perm_srcsort=None,
+            dst_srcsort=None,
             num_src=num_src,
             num_dst=num_dst,
             num_dst_padded=0,

@@ -89,6 +89,7 @@ class SetGNN(nn.Module):
             heads=c.heads,
             attention=c.pma,
             dtype=self._dtype,
+            norm_grad=c.learn_mask,
             name=name,
         )
 

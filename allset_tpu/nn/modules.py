@@ -24,7 +24,7 @@ from allset_tpu.nn.init import (
 )
 from allset_tpu.graph.incidence import Direction
 from allset_tpu.ops import segment_softmax
-from allset_tpu.ops.exchange import dir_gather, dir_reduce, kernel_active
+from allset_tpu.ops.exchange import dir_gather, dir_reduce, dir_spmm, kernel_active
 
 Array = jax.Array
 
@@ -203,7 +203,7 @@ class PMA(nn.Module):
                 pad = (-(HC + H)) % 128
                 parts.append(jnp.zeros((x_V.shape[0], pad), x_V.dtype))
             w = jnp.concatenate(parts, axis=1)  # [N, HC+H(+pad)]
-            agg = dir_reduce(dir_gather(w, d), d, "add")  # [M, ...] f32
+            agg = dir_spmm(w, d)  # fused gather+reduce, permute-free bwd
             denom = jnp.maximum(jnp.repeat(agg[:, HC : HC + H], C, axis=1), 1e-16)
             out = agg[:, :HC] / denom
 
@@ -244,6 +244,9 @@ class HalfNLHconv(nn.Module):
     heads: int = 1
     attention: bool = True
     dtype: Optional[jnp.dtype] = None
+    # True when d.norm requires gradients (SetGNN LearnMask): the fused
+    # spmm then adds an SDDMM pass for dnorm; False declares dnorm = 0
+    norm_grad: bool = False
 
     @nn.compact
     def __call__(
@@ -277,8 +280,7 @@ class HalfNLHconv(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         dtype = x.dtype
-        msgs = dir_gather(x, d) * d.norm[:, None].astype(x.dtype)
-        x = dir_reduce(msgs, d, aggr).astype(dtype)
+        x = dir_spmm(x, d, norm=d.norm, reduce=aggr, norm_grad=self.norm_grad).astype(dtype)
         if self.num_layers > 0:
             x = MLP(
                 hidden_channels=self.hid_dim,

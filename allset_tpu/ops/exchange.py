@@ -178,3 +178,171 @@ def dir_propagate(
     if w is not None:
         msgs = msgs * w[:, None].astype(msgs.dtype)
     return dir_reduce(msgs, d, reduce)
+
+
+# --- fused spmm: gather -> scale -> reduce with a permute-free backward ----
+#
+# out[m] = sum_{i: dst_i = m} norm_i * w[src_i]        (one direction of the
+# bipartite exchange; norm absent for the PMA path, which pre-scales rows).
+#
+# Composing dir_gather + dir_reduce pays, in the backward, a random [nnz, F]
+# permute of the cotangent into src-sorted order (~10-18 ms at bench shapes:
+# XLA row-gathers run at ~7.4 ns/row when the table fits VMEM and ~17 ns/row
+# above, so an nnz-row gather from an nnz-row table is the worst case).
+# The fused VJP never touches nnz-major tables:
+#
+#   dw[s] = sum_{i: src_i = s} norm_i * g[dst_i]
+#
+# evaluated by iterating entries in SRC-SORTED order: one row-gather from the
+# [num_dst, F] cotangent table using the precomputed ``dst_srcsort`` ids
+# (= dst[perm_srcsort], static), then a SORTED segment-sum by src through the
+# same Pallas kernel. Both directions of the incidence carry the needed aux
+# (graph/incidence.py: edge_by_node / node + both CSR block indptrs).
+
+
+def _spmm_fused_ok(d: Direction) -> bool:
+    # No platform/device gate: outside the Pallas inner kernel (gated by
+    # _kernel_ok) the fused path is plain XLA take + sorted segment_sum,
+    # which GSPMD partitions like the composable path.
+    return (
+        d.dst_srcsort is not None
+        and d.src_sorted is not None
+        and d.perm_srcsort is not None
+    )
+
+
+def _spmm_impl(meta, w, norm, src, dst, b_dst):
+    has_norm = meta[6]
+    msgs = jnp.take(w, src, axis=0, mode="clip")
+    if has_norm:
+        msgs = msgs * norm[:, None].astype(msgs.dtype)
+    return _spmm_dst_sum(meta, msgs, dst, b_dst)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_src):
+    return _spmm_impl(meta, w, norm, src, dst, b_dst)
+
+
+def _spmm_dst_sum(meta, msgs, dst, b_dst):
+    num_src, num_dst, num_src_padded, num_dst_padded, s_blk, chunk, _, _ = meta
+
+    class _D:
+        pass
+
+    dd = _D()
+    dd.s_blk, dd.chunk = s_blk, chunk
+    return _sorted_sum(msgs, dst, b_dst, num_dst, num_dst_padded, dd)
+
+
+def _spmm_src_sum(meta, rows, src_sorted, b_src):
+    num_src, num_dst, num_src_padded, num_dst_padded, s_blk, chunk, _, _ = meta
+
+    class _D:
+        pass
+
+    dd = _D()
+    dd.s_blk, dd.chunk = s_blk, chunk
+    return _sorted_sum(rows, src_sorted, b_src, num_src, num_src_padded, dd)
+
+
+def _spmm_fwd(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_src):
+    out = _spmm_impl(meta, w, norm, src, dst, b_dst)
+    norm_grad = meta[7]
+    res = (
+        w if norm_grad else None,
+        norm,
+        src,
+        dst,
+        dst_srcsort,
+        src_sorted,
+        perm,
+        b_src,
+        jnp.zeros((0,), w.dtype),
+    )
+    return out, res
+
+
+def _spmm_bwd(meta, res, g):
+    has_norm, norm_grad = meta[6], meta[7]
+    w, norm, src, dst, dst_srcsort, src_sorted, perm, b_src, dtok = res
+
+    gb = g.astype(dtok.dtype)  # bf16 mode: halves traffic, crosses the
+    # VMEM-table cliff for the [num_dst, F] row gather below
+    rows = jnp.take(gb, dst_srcsort, axis=0, mode="clip")
+    if has_norm:
+        norm_ss = jnp.take(norm, perm, axis=0)
+        rows = rows * norm_ss[:, None].astype(rows.dtype)
+    dw = _spmm_src_sum(meta, rows, src_sorted, b_src).astype(dtok.dtype)
+
+    dnorm = None
+    if norm_grad:
+        # SDDMM: dnorm_i = g[dst_i] . w[src_i]  (execution order)
+        gd = jnp.take(gb, dst, axis=0, mode="clip").astype(jnp.float32)
+        ws = jnp.take(w, src, axis=0, mode="clip").astype(jnp.float32)
+        dnorm = jnp.sum(gd * ws, axis=-1).astype(norm.dtype)
+    return (dw, dnorm, None, None, None, None, None, None, None)
+
+
+_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def dir_spmm(
+    w: Array,
+    d: Direction,
+    norm: Array | None = None,
+    reduce: str = "add",
+    norm_grad: bool = False,
+) -> Array:
+    """Fused gather->scale->segment-reduce over a Direction, float32 out.
+
+    The backward never permutes [nnz, F] data (see module docstring).
+    ``norm_grad`` must be True when ``norm`` requires gradients (LearnMask);
+    otherwise norm's cotangent is declared zero (stop_gradient semantics).
+    'mean' divides the fused sum by the static per-destination counts.
+    'max' and aux-less Directions fall back to the composable path.
+    """
+    if reduce == "max" or w.shape[0] != d.num_src or not _spmm_fused_ok(d):
+        msgs = dir_gather(w, d)
+        if norm is not None:
+            msgs = msgs * norm[:, None].astype(msgs.dtype)
+        return dir_reduce(msgs, d, reduce)
+
+    has_norm = norm is not None
+    meta = (
+        d.num_src,
+        d.num_dst,
+        d.num_src_padded,
+        d.num_dst_padded,
+        d.s_blk,
+        d.chunk,
+        has_norm,
+        has_norm and norm_grad,
+    )
+    if has_norm and not norm_grad:
+        norm = jax.lax.stop_gradient(norm)
+    narg = norm if has_norm else jnp.zeros((0,), jnp.float32)
+    out = _spmm(
+        meta,
+        w,
+        narg,
+        d.src,
+        d.dst,
+        d.dst_srcsort,
+        d.src_sorted,
+        d.perm_srcsort,
+        d.block_indptr,
+        d.src_block_indptr,
+    )
+    if reduce == "mean":
+        if d.dst_count is not None:
+            cnt = d.dst_count
+        else:
+            cnt = jax.ops.segment_sum(
+                d.mask.astype(jnp.float32),
+                d.dst,
+                num_segments=d.num_dst,
+                indices_are_sorted=d.dst_is_sorted,
+            )
+        out = out / jnp.maximum(cnt, 1.0)[:, None]
+    return out

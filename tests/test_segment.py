@@ -190,3 +190,96 @@ def test_pallas_segment_sum_grad(rng):
     np.testing.assert_allclose(
         np.asarray(g_p)[mask], np.asarray(g_x)[mask], rtol=1e-4, atol=1e-4
     )
+
+
+# --- fused dir_spmm (permute-free backward) --------------------------------
+
+
+def _make_inc(rng, n=60, m=24, nnz=260):
+    from allset_tpu.graph.incidence import Incidence
+
+    node = rng.integers(0, n, size=nnz)
+    edge = np.sort(rng.integers(0, m, size=nnz))
+    return Incidence.from_arrays(
+        node, edge, norm=rng.normal(size=nnz).astype(np.float32),
+        num_nodes=n, num_edges=m, bucket=128, kernel_s_blk=16, kernel_chunk=128,
+    )
+
+
+@pytest.mark.parametrize("direction", ["v2e", "e2v"])
+@pytest.mark.parametrize("use_norm", [False, True])
+def test_dir_spmm_forward_matches_dense(rng, direction, use_norm):
+    from allset_tpu.ops.exchange import _spmm_fused_ok, dir_spmm
+
+    inc = _make_inc(rng)
+    d = inc.v2e() if direction == "v2e" else inc.e2v()
+    assert _spmm_fused_ok(d)
+    w = rng.normal(size=(d.num_src, 8)).astype(np.float32)
+
+    got = np.asarray(
+        dir_spmm(jnp.asarray(w), d, norm=d.norm if use_norm else None)
+    )
+    A = np.zeros((d.num_dst, d.num_src))
+    src, dst, norm = np.asarray(d.src), np.asarray(d.dst), np.asarray(d.norm)
+    mask = np.asarray(d.mask)
+    for s, t, wgt, mk in zip(src, dst, norm, mask):
+        if mk:
+            A[t, s] += wgt if use_norm else 1.0
+    np.testing.assert_allclose(got, A @ w, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("direction", ["v2e", "e2v"])
+def test_dir_spmm_grad_matches_composable(rng, direction):
+    from allset_tpu.ops.exchange import dir_gather, dir_reduce, dir_spmm
+
+    inc = _make_inc(rng)
+    d = inc.v2e() if direction == "v2e" else inc.e2v()
+    w = jnp.asarray(rng.normal(size=(d.num_src, 8)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(d.num_dst, 8)).astype(np.float32))
+
+    def loss_fused(w):
+        return jnp.sum((dir_spmm(w, d, norm=d.norm) - t) ** 2)
+
+    def loss_ref(w):
+        msgs = dir_gather(w, d) * d.norm[:, None]
+        return jnp.sum((dir_reduce(msgs, d, "add") - t) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_fused(w)), np.asarray(loss_ref(w)), rtol=1e-4
+    )
+    g_f = np.asarray(jax.grad(loss_fused)(w))
+    g_r = np.asarray(jax.grad(loss_ref)(w))
+    np.testing.assert_allclose(g_f, g_r, rtol=1e-4, atol=1e-4)
+
+
+def test_dir_spmm_norm_grad_sddmm(rng):
+    """norm_grad=True: dnorm must match autodiff through the composable
+    path (the LearnMask case)."""
+    from allset_tpu.ops.exchange import dir_gather, dir_reduce, dir_spmm
+
+    inc = _make_inc(rng)
+    d = inc.v2e()
+    w = jnp.asarray(rng.normal(size=(d.num_src, 8)).astype(np.float32))
+
+    def loss_fused(norm):
+        return jnp.sum(dir_spmm(w, d, norm=norm, norm_grad=True) ** 2)
+
+    def loss_ref(norm):
+        msgs = dir_gather(w, d) * norm[:, None]
+        return jnp.sum(dir_reduce(msgs, d, "add") ** 2)
+
+    g_f = np.asarray(jax.grad(loss_fused)(d.norm))
+    g_r = np.asarray(jax.grad(loss_ref)(d.norm))
+    mask = np.asarray(d.mask)
+    np.testing.assert_allclose(g_f[mask], g_r[mask], rtol=1e-4, atol=1e-4)
+
+
+def test_dir_spmm_mean(rng):
+    from allset_tpu.ops.exchange import dir_propagate, dir_spmm
+
+    inc = _make_inc(rng)
+    d = inc.v2e()
+    w = jnp.asarray(rng.normal(size=(d.num_src, 8)).astype(np.float32))
+    got = np.asarray(dir_spmm(w, d, norm=d.norm, reduce="mean"))
+    want = np.asarray(dir_propagate(w, d, reduce="mean"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
