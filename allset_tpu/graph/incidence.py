@@ -85,6 +85,26 @@ class Incidence:
     # static per-destination valid-entry counts (degrees) for 'mean' reduces
     node_count: Optional[Array] = None  # f32[num_nodes]
     edge_count: Optional[Array] = None  # f32[num_edges]
+    # Self-loop suffix split: when the LAST num_sl_edges hyperedges are
+    # singleton self-loops (Add_Self_Loops appends one per node, reference
+    # src/preprocessing.py:412-448), their V2E contribution is just a row
+    # copy of the source table and their E2V contribution a row add — no
+    # gather/scatter needed. `real` is a nested Incidence over the real
+    # edges only (smaller nnz, smaller gather tables); sl_node[j] is the
+    # node of self-loop edge (num_edges - num_sl_edges + j).
+    #
+    # The split execution uses an N-SLOT layout: the device-side edge
+    # state table reserves one self-loop slot PER NODE (real.num_edges +
+    # num_nodes rows), with "holes" at nodes the reference's skip rule
+    # left without a self-loop. Append/add then become identity slices —
+    # no 131K-row gather (fwd) or scatter-add (bwd) at all. sl_mask is
+    # 1.0 at nodes with a self-loop, 0.0 at holes; sl_norm_full carries
+    # the per-self-loop norm in node order (0 at holes).
+    real: Optional["Incidence"] = None
+    sl_node: Optional[Array] = None  # i32[num_sl_edges] (compact, node ids)
+    sl_mask: Optional[Array] = None  # f32[num_nodes]
+    sl_norm_full: Optional[Array] = None  # f32[num_nodes]
+    num_sl_edges: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def nnz_padded(self) -> int:
@@ -102,6 +122,7 @@ class Incidence:
         sort_by_edge: bool = True,
         kernel_s_blk: int = 256,
         kernel_chunk: int = 512,
+        num_sl_edges: int = 0,
     ) -> "Incidence":
         """Build from host-side numpy COO (unpadded, 0-based id spaces).
 
@@ -126,6 +147,37 @@ class Incidence:
             # stable sort: canonical segment order for the V2E direction
             order = np.argsort(edge, kind="stable")
             node, edge, norm = node[order], edge[order], norm[order]
+
+        # self-loop suffix split (valid only in canonical order)
+        sl_fields = dict(real=None, sl_node=None, sl_mask=None,
+                         sl_norm_full=None, num_sl_edges=0)
+        if num_sl_edges > 0 and sort_by_edge and nnz:
+            boundary = int(num_edges) - num_sl_edges
+            k = int(np.searchsorted(edge, boundary))
+            tail_e, tail_n = edge[k:], node[k:]
+            ok = (
+                len(tail_e) == num_sl_edges
+                and np.array_equal(
+                    tail_e, np.arange(boundary, num_edges, dtype=tail_e.dtype)
+                )
+            )
+            if ok:
+                mask = np.zeros(num_nodes, np.float32)
+                mask[tail_n] = 1.0
+                norm_full = np.zeros(num_nodes, np.float32)
+                norm_full[tail_n] = norm[k:]
+                sl_fields = dict(
+                    real=cls.from_arrays(
+                        node[:k], edge[:k], norm=norm[:k],
+                        num_nodes=num_nodes, num_edges=boundary,
+                        bucket=bucket, sort_by_edge=True,
+                        kernel_s_blk=kernel_s_blk, kernel_chunk=kernel_chunk,
+                    ),
+                    sl_node=jnp.asarray(tail_n.astype(np.int32)),
+                    sl_mask=jnp.asarray(mask),
+                    sl_norm_full=jnp.asarray(norm_full),
+                    num_sl_edges=num_sl_edges,
+                )
 
         with_kernel = sort_by_edge and kernel_s_blk > 0
         if with_kernel:
@@ -208,6 +260,7 @@ class Incidence:
             kernel_s_blk=kernel_s_blk if with_kernel else 0,
             kernel_chunk=kernel_chunk if with_kernel else 0,
             **node_aux,
+            **sl_fields,
         )
 
     def with_norm(self, norm: Array) -> "Incidence":
@@ -284,6 +337,41 @@ class Incidence:
             chunk=self.kernel_chunk,
         )
 
+    # --- self-loop split directed views ---
+
+    def v2e_split(self) -> "Direction":
+        """V->E over the REAL edges only; dir_spmm appends one self-loop
+        slot per node (identity rows) -> [real.num_edges + num_nodes, F].
+
+        NOTE the N-slot layout: the output's tail num_nodes rows are the
+        self-loop slots in NODE order, with junk at holes — a different
+        (internal) edge indexing than this incidence's compact edge ids.
+        Pair only with e2v_split, which consumes the same layout."""
+        assert self.real is not None
+        base = self.real.v2e()
+        return dataclasses.replace(
+            base,
+            sl_mode="append",
+            num_dst_total=self.real.num_edges + self.num_nodes,
+            sl_mask=self.sl_mask,
+            sl_norm=self.sl_norm_full,
+            dst_count=jnp.concatenate([self.real.edge_count, self.sl_mask]),
+        )
+
+    def e2v_split(self) -> "Direction":
+        """E->V over the REAL edges only; dir_spmm adds w's tail num_nodes
+        rows (the per-node self-loop slots) masked at holes."""
+        assert self.real is not None
+        base = self.real.e2v()
+        return dataclasses.replace(
+            base,
+            sl_mode="add",
+            num_dst_total=self.num_nodes,
+            sl_mask=self.sl_mask,
+            sl_norm=self.sl_norm_full,
+            dst_count=self.node_count,
+        )
+
     # --- degree helpers (host-free, jittable) ---
 
     def node_degree(self) -> Array:
@@ -342,6 +430,23 @@ class Direction:
     s_blk: int = dataclasses.field(metadata=dict(static=True))
     chunk: int = dataclasses.field(metadata=dict(static=True))
     dst_is_sorted: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # Self-loop suffix handling in the N-SLOT layout (ops/exchange.dir_spmm):
+    #   'none'   — this Direction covers all entries (default);
+    #   'append' — V2E over the real edges only; the output appends ALL
+    #              num_nodes source rows (one self-loop slot per node,
+    #              singleton multisets are identity), scaled by
+    #              sl_norm_full when a norm is in effect; holes carry
+    #              junk rows that nothing consumes;
+    #   'add'    — E2V over the real edges only; w's tail num_nodes rows
+    #              are the self-loop slots, added to the output scaled by
+    #              sl_norm_full (with norm) or sl_mask (unweighted — the
+    #              mask zeroes hole rows).
+    # dst_count (when set) is sized num_dst_total so 'mean' divides by the
+    # FULL destination degree after the self-loop contribution.
+    sl_mode: str = dataclasses.field(default="none", metadata=dict(static=True))
+    num_dst_total: int = dataclasses.field(default=0, metadata=dict(static=True))
+    sl_mask: Optional[Array] = None  # f32[num_nodes]
+    sl_norm: Optional[Array] = None  # f32[num_nodes] (zero at holes)
 
     @classmethod
     def plain(

@@ -42,6 +42,11 @@ class HyperData:
     num_hyperedges: int
     norm: Optional[np.ndarray] = None  # [nnz] float32
     extras: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    # number of singleton self-loop hyperedges appended at the END of the
+    # edge id space by add_self_loops (structural fact exploited by the
+    # device code: their V2E/E2V contribution is a dense row mapping, so
+    # the sparse kernels only carry the real edges — see Incidence)
+    num_sl_edges: int = 0
 
     @property
     def nnz(self) -> int:
@@ -72,6 +77,7 @@ class HyperData:
             num_nodes=self.num_nodes,
             num_edges=self.num_hyperedges,
             bucket=bucket,
+            num_sl_edges=self.num_sl_edges,
         )
 
 
@@ -114,6 +120,7 @@ def add_self_loops(data: HyperData) -> HyperData:
     out.node = np.concatenate([data.node, new_nodes])
     out.edge = np.concatenate([data.edge, new_edges])
     out.num_hyperedges = data.num_hyperedges + len(new_nodes)
+    out.num_sl_edges = len(new_nodes)
     if data.norm is not None:
         out.norm = np.concatenate(
             [data.norm, np.ones(len(new_nodes), dtype=np.float32)]

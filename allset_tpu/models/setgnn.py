@@ -131,7 +131,14 @@ class SetGNN(nn.Module):
         # (edge-sorted) order, E2V in the node-sorted second order — every
         # segment reduce (fwd and gather-bwd) runs sorted (ops/exchange).
         if c.use_pallas and inc.node_perm is not None and jax.device_count() == 1:
-            d_v2e, d_e2v = inc.v2e(norm), inc.e2v(norm)
+            if inc.real is not None and not c.learn_mask and c.normalization != "bn":
+                # self-loop suffix split: sparse core over real edges only;
+                # singleton self-loop edges become identity row slices in
+                # an N-slot edge-state layout (holes masked). Gated off for
+                # 'bn' (hole junk rows would pollute batch statistics).
+                d_v2e, d_e2v = inc.v2e_split(), inc.e2v_split()
+            else:
+                d_v2e, d_e2v = inc.v2e(norm), inc.e2v(norm)
         else:
             from allset_tpu.graph.incidence import Direction
 

@@ -208,7 +208,7 @@ class PMA(nn.Module):
             out = agg[:, :HC] / denom
 
         out = out + att_flat[None, :]  # seed + multihead (src/layers.py:153)
-        out = nn.LayerNorm(epsilon=LN_EPS, name="ln0")(out)
+        out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln0")(out)
         rff = MLP(
             hidden_channels=H * C,
             out_channels=self.out_dim,
@@ -218,7 +218,7 @@ class PMA(nn.Module):
             dtype=self.dtype,
             name="rFF",
         )
-        out = nn.LayerNorm(epsilon=LN_EPS, name="ln1")(
+        out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln1")(
             out + nn.relu(rff(out, train)).astype(out.dtype)
         )
         return out

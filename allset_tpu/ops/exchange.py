@@ -287,21 +287,9 @@ def _spmm_bwd(meta, res, g):
 _spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
-def dir_spmm(
-    w: Array,
-    d: Direction,
-    norm: Array | None = None,
-    reduce: str = "add",
-    norm_grad: bool = False,
-) -> Array:
-    """Fused gather->scale->segment-reduce over a Direction, float32 out.
-
-    The backward never permutes [nnz, F] data (see module docstring).
-    ``norm_grad`` must be True when ``norm`` requires gradients (LearnMask);
-    otherwise norm's cotangent is declared zero (stop_gradient semantics).
-    'mean' divides the fused sum by the static per-destination counts.
-    'max' and aux-less Directions fall back to the composable path.
-    """
+def _core_reduce(w: Array, d: Direction, norm, reduce: str, norm_grad: bool) -> Array:
+    """Reduce over the entries this Direction covers ('add'/'max' only;
+    'mean' is composed by the caller). Fused when the aux allows."""
     if reduce == "max" or w.shape[0] != d.num_src or not _spmm_fused_ok(d):
         msgs = dir_gather(w, d)
         if norm is not None:
@@ -322,7 +310,7 @@ def dir_spmm(
     if has_norm and not norm_grad:
         norm = jax.lax.stop_gradient(norm)
     narg = norm if has_norm else jnp.zeros((0,), jnp.float32)
-    out = _spmm(
+    return _spmm(
         meta,
         w,
         narg,
@@ -334,6 +322,52 @@ def dir_spmm(
         d.block_indptr,
         d.src_block_indptr,
     )
+
+
+def dir_spmm(
+    w: Array,
+    d: Direction,
+    norm: Array | None = None,
+    reduce: str = "add",
+    norm_grad: bool = False,
+) -> Array:
+    """Fused gather->scale->segment-reduce over a Direction, float32 out.
+
+    The backward never permutes [nnz, F] data (see module docstring).
+    ``norm_grad`` must be True when ``norm`` requires gradients (LearnMask);
+    otherwise norm's cotangent is declared zero (stop_gradient semantics).
+    'mean' divides the fused sum by the static per-destination counts.
+    'max' and aux-less Directions fall back to the composable path.
+
+    Self-loop split Directions (``d.sl_mode``): the sparse core covers only
+    the real edges; singleton self-loop edges contribute dense row copies —
+    'append' concatenates w[sl_node]*sl_norm rows after the core output
+    (V2E), 'add' adds the tail rows of w to destinations sl_node (E2V).
+    """
+    core_reduce = "max" if reduce == "max" else "add"
+
+    if d.sl_mode == "none":
+        out = _core_reduce(w, d, norm, core_reduce, norm_grad)
+        total = d.num_dst
+    elif d.sl_mode == "append":
+        # N-slot layout: one self-loop slot per node, identity rows.
+        core = _core_reduce(w, d, norm, core_reduce, norm_grad)
+        rows = w.astype(core.dtype)
+        if norm is not None:  # norm=None means unweighted (PMA) everywhere
+            rows = rows * d.sl_norm[:, None]
+        out = jnp.concatenate([core, rows], axis=0)
+        total = d.num_dst_total
+    elif d.sl_mode == "add":
+        core = _core_reduce(w[: d.num_src], d, norm, core_reduce, norm_grad)
+        rows = w[d.num_src :].astype(core.dtype)
+        # scale weights the self-loop entries AND zeroes the hole rows
+        scale = d.sl_norm if norm is not None else d.sl_mask
+        rows = rows * scale[:, None]
+        out = jnp.maximum(core, rows) if reduce == "max" else core + rows
+        total = d.num_dst_total
+    else:
+        raise ValueError(f"unknown sl_mode {d.sl_mode!r}")
+
     if reduce == "mean":
         if d.dst_count is not None:
             cnt = d.dst_count
@@ -341,7 +375,7 @@ def dir_spmm(
             cnt = jax.ops.segment_sum(
                 d.mask.astype(jnp.float32),
                 d.dst,
-                num_segments=d.num_dst,
+                num_segments=total,
                 indices_are_sorted=d.dst_is_sorted,
             )
         out = out / jnp.maximum(cnt, 1.0)[:, None]

@@ -93,15 +93,16 @@ def main():
         )
         return params, opt_state, losses[-1]
 
-    # compile + warmup
+    # compile + warmup. block_until_ready is not a reliable fence through
+    # the axon tunnel; force a device->host transfer of the loss instead.
     params, opt_state, loss = run_chunk(params, opt_state)
-    jax.block_until_ready(loss)
+    float(np.asarray(jax.device_get(loss)))
 
     times = []
     for _ in range(timed_calls):
         t0 = time.perf_counter()
         params, opt_state, loss = run_chunk(params, opt_state)
-        jax.block_until_ready(loss)
+        float(np.asarray(jax.device_get(loss)))
         times.append(time.perf_counter() - t0)
 
     best = min(times)

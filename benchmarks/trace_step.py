@@ -1,0 +1,96 @@
+"""Trace the bench training step and print per-op time, grouped."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import glob
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import bench
+    import optax
+    from allset_tpu.train.trainer import masked_nll, torch_adam
+
+    model, batch = bench.build(1 << 17, 1 << 16, 12, 256, 8)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+    params = variables["params"]
+    tx = torch_adam(1e-3, 0.0)
+    opt_state = tx.init(params)
+    train_mask = jnp.arange(batch.num_nodes) % 2 == 0
+
+    def one_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            logits = model.apply({"params": p}, batch, False)
+            return masked_nll(logits, batch.y, train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def run_chunk(params, opt_state):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), None, length=8
+        )
+        return params, opt_state, losses[-1]
+
+    p, o, loss = run_chunk(params, opt_state)
+    float(np.asarray(jax.device_get(loss)))
+
+    tmpdir = "/tmp/jaxtrace"
+    os.system(f"rm -rf {tmpdir}")
+    jax.profiler.start_trace(tmpdir)
+    p, o, loss = run_chunk(params, opt_state)
+    float(np.asarray(jax.device_get(loss)))
+    jax.profiler.stop_trace()
+
+    files = glob.glob(f"{tmpdir}/**/*.xplane.pb", recursive=True)
+    print("xplane files:", files)
+    if not files:
+        return
+    data = jax.profiler.ProfileData.from_serialized_xspace(
+        open(files[0], "rb").read()
+    )
+    import re
+
+    for plane in data.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            evs = [(ev.name, ev.duration_ns) for ev in line.events]
+            agg = {}
+            for name, dur in evs:
+                if name.startswith("%while"):
+                    continue
+                agg[name] = agg.get(name, 0) + dur
+            total = sum(agg.values())
+            print(f"XLA Ops exclusive-ish total: {total/1e6/8:.2f} ms/step")
+            items = sorted(agg.items(), key=lambda kv: -kv[1])
+            top = items[:40]
+            for name, dur in top:
+                print(f"   {dur/1e6/8:8.3f}  {name[:120]}")
+            tail = sum(d for _, d in items[40:])
+            print(f"   {tail/1e6/8:8.3f}  == tail ({len(items)-40} distinct ops)")
+            # bucket by shape-category
+            buckets = {}
+            for name, dur in items:
+                m = re.search(r"= \(?([a-z0-9]+)\[([0-9,]*)\]", name)
+                key = f"{m.group(1)}[{m.group(2)}]" if m else "other"
+                buckets[key] = buckets.get(key, 0) + dur
+            print("-- by result shape:")
+            for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])[:25]:
+                print(f"   {v/1e6/8:8.3f}  {k}")
+
+
+if __name__ == "__main__":
+    main()

@@ -283,3 +283,100 @@ def test_dir_spmm_mean(rng):
     got = np.asarray(dir_spmm(w, d, norm=d.norm, reduce="mean"))
     want = np.asarray(dir_propagate(w, d, reduce="mean"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# --- self-loop suffix split ------------------------------------------------
+
+
+def _make_sl_inc(rng, n=50, m=20, nnz=200):
+    """Incidence with Add_Self_Loops applied (suffix singleton edges)."""
+    from allset_tpu.graph.transforms import HyperData, add_self_loops, coalesce, norm_construction
+
+    node = rng.integers(0, n, size=nnz)
+    edge = rng.integers(0, m, size=nnz)
+    node, edge = coalesce(node, edge)
+    hd = HyperData(
+        x=np.zeros((n, 4), np.float32), y=np.zeros(n, np.int64),
+        node=node, edge=edge, num_nodes=n, num_hyperedges=m,
+    )
+    hd = norm_construction(add_self_loops(hd), "deg_half_sym")
+    return hd, hd.to_incidence(bucket=128)
+
+
+def test_incidence_selfloop_split_structure(rng):
+    hd, inc = _make_sl_inc(rng)
+    assert inc.real is not None
+    assert inc.num_sl_edges == hd.num_sl_edges
+    assert inc.real.num_edges + inc.num_sl_edges == inc.num_edges
+    assert inc.real.nnz + inc.num_sl_edges == inc.nnz
+    # sl_node ascending (appended in node order)
+    sl = np.asarray(inc.sl_node)
+    assert np.all(np.diff(sl) > 0)
+
+
+@pytest.mark.parametrize("use_norm", [False, True])
+@pytest.mark.parametrize("reduce", ["add", "mean"])
+def test_dir_spmm_split_matches_unsplit(rng, use_norm, reduce):
+    """N-slot split (append/add) spmm == unsplit spmm over the full
+    incidence, values and gradients. The append output uses the N-slot
+    layout: row (num_real + v) is node v's self-loop slot."""
+    from allset_tpu.ops.exchange import dir_spmm
+
+    _, inc = _make_sl_inc(rng)
+    f = 8
+    n_real = inc.real.num_edges
+    sl = np.asarray(inc.sl_node)  # compact self-loop edge -> node id
+    n = inc.num_nodes
+
+    # --- v2e: map N-slot rows back to compact edge ids for comparison
+    dv_s, dv_f = inc.v2e_split(), inc.v2e()
+    w = jnp.asarray(rng.normal(size=(dv_f.num_src, f)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(dv_f.num_dst, f)).astype(np.float32))
+    # compact edge id -> N-slot row: real edges identity, sl edge j -> n_real + sl[j]
+    rowmap = np.concatenate([np.arange(n_real), n_real + sl]).astype(np.int32)
+
+    def loss_split_v(w):
+        out = dir_spmm(w, dv_s, norm=dv_s.norm if use_norm else None, reduce=reduce)
+        out = jnp.take(out, jnp.asarray(rowmap), axis=0)
+        return jnp.sum((out - t) ** 2), out
+
+    def loss_full_v(w):
+        out = dir_spmm(w, dv_f, norm=dv_f.norm if use_norm else None, reduce=reduce)
+        return jnp.sum((out - t) ** 2), out
+
+    (_, outs), gs = jax.value_and_grad(loss_split_v, has_aux=True)(w)
+    (_, outf), gf = jax.value_and_grad(loss_full_v, has_aux=True)(w)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outf), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gf), rtol=1e-4, atol=1e-5)
+
+    # --- e2v: split consumes the N-slot edge table; build it from compact
+    de_s, de_f = inc.e2v_split(), inc.e2v()
+    wc = rng.normal(size=(de_f.num_src, f)).astype(np.float32)  # compact [M, f]
+    wn = np.zeros((n_real + n, f), np.float32)
+    wn[rowmap] = wc  # holes stay zero (masked anyway)
+    t2 = jnp.asarray(rng.normal(size=(de_f.num_dst, f)).astype(np.float32))
+
+    def loss_split_e(wn):
+        out = dir_spmm(wn, de_s, norm=de_s.norm if use_norm else None, reduce=reduce)
+        return jnp.sum((out - t2) ** 2), out
+
+    def loss_full_e(wc):
+        out = dir_spmm(wc, de_f, norm=de_f.norm if use_norm else None, reduce=reduce)
+        return jnp.sum((out - t2) ** 2), out
+
+    (_, outs), gs = jax.value_and_grad(loss_split_e, has_aux=True)(jnp.asarray(wn))
+    (_, outf), gf = jax.value_and_grad(loss_full_e, has_aux=True)(jnp.asarray(wc))
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outf), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs)[rowmap], np.asarray(gf), rtol=1e-4, atol=1e-5)
+
+
+def test_dir_spmm_split_unweighted_ignores_slnorm(rng):
+    """norm=None (the PMA path) must leave self-loop slot rows unscaled
+    even when the incidence carries non-trivial norms."""
+    from allset_tpu.ops.exchange import dir_spmm
+
+    _, inc = _make_sl_inc(rng)
+    d = inc.v2e_split()
+    w = jnp.asarray(rng.normal(size=(d.num_src, 8)).astype(np.float32))
+    out = np.asarray(dir_spmm(w, d))
+    np.testing.assert_allclose(out[d.num_dst :], np.asarray(w), rtol=1e-5)
