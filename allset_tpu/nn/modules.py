@@ -207,7 +207,7 @@ class PMA(nn.Module):
             denom = jnp.maximum(jnp.repeat(agg[:, HC : HC + H], C, axis=1), 1e-16)
             out = agg[:, :HC] / denom
 
-        out = out + att_flat[None, :]  # seed + multihead (src/layers.py:153)
+        out = out + att_flat[None, :].astype(out.dtype)  # seed residual (src/layers.py:153)
         out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln0")(out)
         rff = MLP(
             hidden_channels=H * C,

@@ -70,7 +70,8 @@ def _kernel_ok(d: Direction, block_indptr, nrows: int, F: int, dtype) -> bool:
 def _sorted_sum(msgs, ids, block_indptr, num_seg, num_seg_padded, d: Direction):
     """Sorted segment-sum: Pallas on single-chip TPU, hinted XLA otherwise.
 
-    Always returns float32 [num_seg, F]."""
+    Accumulates in float32, returns msgs.dtype [num_seg, F] (bf16 in ->
+    bf16 out: halves the HBM write and downstream elementwise traffic)."""
     nnz_pad, F = msgs.shape
     if _kernel_ok(d, block_indptr, nnz_pad, F, msgs.dtype):
         out = sorted_segment_sum_pallas(
@@ -88,15 +89,16 @@ def _sorted_sum(msgs, ids, block_indptr, num_seg, num_seg_padded, d: Direction):
         ids,
         num_segments=num_seg,
         indices_are_sorted=True,
-    )
+    ).astype(msgs.dtype)
 
 
 def dir_reduce(msgs: Array, d: Direction, reduce: str = "add") -> Array:
     """Segment-reduce ``msgs`` (execution order) by ``d.dst`` -> [num_dst, F].
 
-    'add'/'sum' and 'mean' return float32; 'mean' divides by the static
-    per-destination valid-entry count (clamped to >= 1, torch_scatter
-    semantics). 'max' falls back to XLA segment-max (rare path).
+    Accumulation is float32; the result dtype follows msgs on the sorted
+    path. 'mean' divides by the static per-destination valid-entry count
+    (clamped to >= 1, torch_scatter semantics). 'max' falls back to XLA
+    segment-max (rare path).
     """
     if reduce in ("add", "sum", "mean"):
         if d.dst_is_sorted:
@@ -117,7 +119,7 @@ def dir_reduce(msgs: Array, d: Direction, reduce: str = "add") -> Array:
                     num_segments=d.num_dst,
                     indices_are_sorted=d.dst_is_sorted,
                 )
-            out = out / jnp.maximum(cnt, 1.0)[:, None]
+            out = out / jnp.maximum(cnt, 1.0)[:, None].astype(out.dtype)
         return out
     if reduce == "max":
         return _xla_segment_max(
@@ -354,7 +356,7 @@ def dir_spmm(
         core = _core_reduce(w, d, norm, core_reduce, norm_grad)
         rows = w.astype(core.dtype)
         if norm is not None:  # norm=None means unweighted (PMA) everywhere
-            rows = rows * d.sl_norm[:, None]
+            rows = rows * d.sl_norm[:, None].astype(rows.dtype)
         out = jnp.concatenate([core, rows], axis=0)
         total = d.num_dst_total
     elif d.sl_mode == "add":
@@ -362,7 +364,7 @@ def dir_spmm(
         rows = w[d.num_src :].astype(core.dtype)
         # scale weights the self-loop entries AND zeroes the hole rows
         scale = d.sl_norm if norm is not None else d.sl_mask
-        rows = rows * scale[:, None]
+        rows = rows * scale[:, None].astype(rows.dtype)
         out = jnp.maximum(core, rows) if reduce == "max" else core + rows
         total = d.num_dst_total
     else:
@@ -378,5 +380,5 @@ def dir_spmm(
                 num_segments=total,
                 indices_are_sorted=d.dst_is_sorted,
             )
-        out = out / jnp.maximum(cnt, 1.0)[:, None]
+        out = out / jnp.maximum(cnt, 1.0)[:, None].astype(out.dtype)
     return out

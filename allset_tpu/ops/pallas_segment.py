@@ -105,7 +105,7 @@ def _kernel(S_BLK, CHUNK, F, in_dtype):
 
             jax.lax.fori_loop(0, nchunks, body, 0)
 
-        out_ref[...] = acc[...]
+        out_ref[...] = acc[...].astype(out_ref.dtype)
 
     return kernel
 
@@ -125,6 +125,9 @@ def _sorted_segment_sum_fwd(
     nnz_pad, F = msgs.shape
     m_pad = num_segments  # already padded to s_blk multiple by caller
     num_blocks = m_pad // s_blk
+    # accumulate in f32 VMEM; store in the input dtype (bf16 in -> bf16
+    # out halves the HBM write and the downstream elementwise traffic)
+    out_dtype = msgs.dtype
     kern = _kernel(s_blk, chunk, F, msgs.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -146,7 +149,7 @@ def _sorted_segment_sum_fwd(
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((m_pad, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, F), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(block_indptr, msgs, dst2d)
