@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run statistical replicas sequentially (low-memory)")
     p.add_argument("--preset", action="store_true",
                    help="apply the tuned per-dataset AllSetTransformer preset")
+    p.add_argument("--plot", default=None, metavar="PATH",
+                   help="save train/valid/test accuracy curves (the "
+                        "reference Logger.plot_result, src/train.py:152-167)")
     return p
 
 
@@ -140,6 +143,8 @@ def main(argv=None) -> int:
     )
     res = trainer.fit()
     print(res.summary())
+    if args.plot:
+        print(f"Saved accuracy curves to {res.plot(args.plot)}")
 
     # CSV append in the reference's format (src/train.py:503-525)
     os.makedirs(args.res_root, exist_ok=True)

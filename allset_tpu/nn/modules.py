@@ -143,6 +143,12 @@ class PMA(nn.Module):
     # 'segment': the reference's per-segment max (PyG softmax) — exact
     # parity mode.
     softmax_mode: str = "global"
+    # parity with the reference's return_attention_weights option
+    # (``src/layers.py:159-164``): when True, __call__ returns
+    # (out, alpha) where alpha[i, h] is entry i's softmax weight for its
+    # destination segment (covers the entries of ``d``; with a self-loop
+    # split Direction that's the real edges — self-loop weights are 1).
+    return_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -189,6 +195,7 @@ class PMA(nn.Module):
             out = dir_reduce(
                 x_j * jnp.repeat(p, C, axis=1).astype(x_j.dtype), d, "add"
             )
+            attn = p
         else:
             # Padded entries carry out-of-range src/dst ids: the clip-gather
             # reads garbage rows but the reduce drops their segment, and the
@@ -204,8 +211,14 @@ class PMA(nn.Module):
                 parts.append(jnp.zeros((x_V.shape[0], pad), x_V.dtype))
             w = jnp.concatenate(parts, axis=1)  # [N, HC+H(+pad)]
             agg = dir_spmm(w, d)  # fused gather+reduce, permute-free bwd
-            denom = jnp.maximum(jnp.repeat(agg[:, HC : HC + H], C, axis=1), 1e-16)
+            denom_h = jnp.maximum(agg[:, HC : HC + H], 1e-16)  # [M, H]
+            denom = jnp.repeat(denom_h, C, axis=1)
             out = agg[:, :HC] / denom
+            if self.return_attention:
+                # per-entry weight = e[src] / denom[dst] (debug/parity API)
+                e_j = jnp.take(e, d.src, axis=0, mode="clip")
+                den_j = jnp.take(denom_h, d.dst, axis=0, mode="clip")
+                attn = (e_j.astype(jnp.float32) / den_j.astype(jnp.float32))
 
         out = out + att_flat[None, :].astype(out.dtype)  # seed residual (src/layers.py:153)
         out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln0")(out)
@@ -221,6 +234,8 @@ class PMA(nn.Module):
         out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln1")(
             out + nn.relu(rff(out, train)).astype(out.dtype)
         )
+        if self.return_attention:
+            return out, attn
         return out
 
 

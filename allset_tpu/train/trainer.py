@@ -244,6 +244,32 @@ class Results:
             "best_epoch": best_epoch,
         }
 
+    def plot(self, path: Optional[str] = None, run: Optional[int] = None):
+        """Accuracy curves, mirroring the reference ``Logger.plot_result``
+        (``src/train.py:152-167``): train/valid/test accuracy per epoch,
+        averaged over runs (or a single run). Saves to ``path`` when given,
+        else returns the matplotlib figure."""
+        import matplotlib
+
+        if path is not None:
+            matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        acc = self.metrics[:, :, :3] * 100.0
+        curves = acc[run] if run is not None else acc.mean(axis=0)
+        fig, ax = plt.subplots(figsize=(7, 4))
+        for i, label in enumerate(["train", "valid", "test"]):
+            ax.plot(curves[:, i], label=label)
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("accuracy (%)")
+        ax.legend()
+        fig.tight_layout()
+        if path is not None:
+            fig.savefig(path, dpi=120)
+            plt.close(fig)
+            return path
+        return fig
+
     def summary(self) -> str:
         s = self.best_by_valid()
         lines = ["All runs:"]

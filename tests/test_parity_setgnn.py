@@ -217,3 +217,32 @@ def test_pma_softmax_modes_agree(rng):
         variables = pma.init(jax.random.PRNGKey(7), jnp.asarray(x), d)
         outs[mode] = np.asarray(pma.apply(variables, jnp.asarray(x), d))
     np.testing.assert_allclose(outs["segment"], outs["global"], rtol=1e-4, atol=1e-5)
+
+
+def test_pma_return_attention_sums_to_one(rng):
+    """return_attention parity API (reference src/layers.py:159-164):
+    per-entry softmax weights must sum to 1 over each destination."""
+    import jax
+    import jax.numpy as jnp
+
+    from allset_tpu.graph.incidence import Incidence
+    from allset_tpu.nn.modules import PMA
+
+    n, m, nnz = 30, 12, 100
+    node = rng.integers(0, n, size=nnz)
+    edge = np.sort(rng.integers(0, m, size=nnz))
+    inc = Incidence.from_arrays(node, edge, num_nodes=n, num_edges=m,
+                                bucket=128, kernel_s_blk=16, kernel_chunk=128)
+    d = inc.v2e()
+    pma = PMA(hid_dim=16, out_dim=16, num_layers=2, heads=4, return_attention=True)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    v = pma.init({"params": jax.random.PRNGKey(0)}, x, d)
+    out, attn = pma.apply(v, x, d)
+    assert out.shape == (m, 16)
+    sums = np.zeros((m, 4))
+    an = np.asarray(attn)
+    for i, (dst, ok) in enumerate(zip(np.asarray(d.dst), np.asarray(d.mask))):
+        if ok:
+            sums[dst] += an[i]
+    present = np.unique(np.asarray(d.dst)[np.asarray(d.mask)])
+    np.testing.assert_allclose(sums[present], 1.0, rtol=1e-4)
