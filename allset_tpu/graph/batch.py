@@ -30,6 +30,9 @@ class Batch:
     y: Array  # [N] int32
     inc: Optional[Incidence]
     extras: Dict[str, Array] = dataclasses.field(default_factory=dict)
+    # explicit shard_map edge-partitioned exchange (parallel/sharded);
+    # when set, SetGNN routes its sparse traffic through it
+    shex: Optional[object] = None
 
     @property
     def num_nodes(self) -> int:

@@ -130,7 +130,15 @@ class SetGNN(nn.Module):
         # Two directed views over the same entry list: V2E in canonical
         # (edge-sorted) order, E2V in the node-sorted second order — every
         # segment reduce (fwd and gather-bwd) runs sorted (ops/exchange).
-        if c.use_pallas and inc.node_perm is not None and jax.device_count() == 1:
+        if (
+            batch.shex is not None
+            and not c.learn_mask
+            and c.aggregate in ("add", "mean")
+            and c.normalization != "bn"  # N-slot hole rows vs batch stats
+        ):
+            # explicit shard_map edge-partitioned exchange (multi-chip)
+            d_v2e, d_e2v = batch.shex.v2e, batch.shex.e2v
+        elif c.use_pallas and inc.node_perm is not None and jax.device_count() == 1:
             if inc.real is not None and not c.learn_mask and c.normalization != "bn":
                 # self-loop suffix split: sparse core over real edges only;
                 # singleton self-loop edges become identity row slices in

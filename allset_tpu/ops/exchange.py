@@ -40,25 +40,31 @@ from allset_tpu.ops.segment import segment_max as _xla_segment_max
 Array = jax.Array
 
 
-def kernel_active(d: Direction, F: int) -> bool:
+def kernel_active(d, F: int) -> bool:
     """Will dir_reduce route [*, F] through the Pallas kernel? (trace-time;
-    used by callers to decide lane-alignment padding of packed layouts)."""
+    used by callers to decide lane-alignment padding of packed layouts).
+    ShardedDirections run Pallas per shard, so the single-device gate is
+    lifted for them."""
     plat = jax.devices()[0].platform
+    sharded = getattr(d, "mesh", None) is not None
     return (
         d.block_indptr is not None
         and plat in ("tpu", "axon")
-        and jax.device_count() == 1
+        and (jax.device_count() == 1 or sharded)
         and d.s_blk > 0
     )
 
 
-def _kernel_ok(d: Direction, block_indptr, nrows: int, F: int, dtype) -> bool:
-    """Trace-time gate for the Pallas path (single-chip TPU, aligned)."""
+def _kernel_ok(d, block_indptr, nrows: int, F: int, dtype) -> bool:
+    """Trace-time gate for the Pallas path (single-chip TPU, aligned).
+
+    ``d.in_shard`` (parallel/sharded._ShardView) lifts the single-device
+    gate: inside shard_map each shard runs its own Pallas call."""
     plat = jax.devices()[0].platform
     return (
         block_indptr is not None
         and plat in ("tpu", "axon")
-        and jax.device_count() == 1
+        and (jax.device_count() == 1 or getattr(d, "in_shard", False))
         and nrows % LANE == 0
         and F % LANE == 0
         and d.chunk % LANE == 0
@@ -345,7 +351,24 @@ def dir_spmm(
     the real edges; singleton self-loop edges contribute dense row copies —
     'append' concatenates w[sl_node]*sl_norm rows after the core output
     (V2E), 'add' adds the tail rows of w to destinations sl_node (E2V).
+
+    A parallel.sharded.ShardedDirection dispatches to the shard_map
+    edge-partitioned path (norms baked into the shard arrays).
     """
+    if getattr(d, "mesh", None) is not None:  # ShardedDirection
+        if norm_grad:
+            raise NotImplementedError(
+                "LearnMask (norm gradients) requires the single-chip path"
+            )
+        from allset_tpu.parallel.sharded import sharded_spmm
+
+        out = sharded_spmm(w, d, use_norm=norm is not None)
+        if reduce == "mean":
+            out = out / jnp.maximum(d.dst_count, 1.0)[:, None].astype(out.dtype)
+        elif reduce == "max":
+            raise NotImplementedError("sharded max reduce")
+        return out
+
     core_reduce = "max" if reduce == "max" else "add"
 
     if d.sl_mode == "none":

@@ -102,3 +102,137 @@ def test_hybrid_mesh_single_process():
             jax.jit(lambda v, b: model.apply(v, b, False))(replicate(variables, mesh), sbatch)
         )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# --- explicit shard_map edge-partitioned exchange --------------------------
+
+
+def _sl_incidence(rng, n=60, m=24, nnz=300):
+    from allset_tpu.graph.transforms import HyperData, add_self_loops, coalesce, norm_construction
+
+    node = rng.integers(0, n, size=nnz)
+    edge = rng.integers(0, m, size=nnz)
+    node, edge = coalesce(node, edge)
+    hd = HyperData(
+        x=np.zeros((n, 4), np.float32), y=np.zeros(n, np.int64),
+        node=node, edge=edge, num_nodes=n, num_hyperedges=m,
+    )
+    hd = norm_construction(add_self_loops(hd), "deg_half_sym")
+    return hd.to_incidence(bucket=128)
+
+
+@pytest.mark.parametrize("use_norm", [True, False])
+def test_sharded_spmm_matches_single_device(rng, use_norm):
+    """shard_map edge-partitioned spmm == dir_spmm (values + grads) on a
+    virtual 8-device CPU mesh, both directions, with the self-loop split."""
+    import jax
+    import jax.numpy as jnp
+
+    from allset_tpu.ops.exchange import dir_spmm
+    from allset_tpu.parallel.mesh import make_mesh
+    from allset_tpu.parallel.sharded import ShardedExchange, sharded_spmm
+
+    inc = _sl_incidence(rng)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(inc, mesh).shard()
+
+    f = 8
+    for sd, ref_d in [(shex.v2e, inc.v2e_split()), (shex.e2v, inc.e2v_split())]:
+        rows = ref_d.num_src + (0 if sd.sl_mode != "add" else inc.num_nodes)
+        w = jnp.asarray(rng.normal(size=(rows, f)).astype(np.float32))
+        tgt_rows = sd.num_dst_total if sd.sl_mode != "none" else sd.num_dst
+        t = jnp.asarray(rng.normal(size=(tgt_rows, f)).astype(np.float32))
+
+        def loss_sh(w):
+            out = sharded_spmm(w, sd, use_norm=use_norm)
+            return jnp.sum((out - t) ** 2), out
+
+        def loss_ref(w):
+            out = dir_spmm(w, ref_d, norm=ref_d.norm if use_norm else None)
+            return jnp.sum((out - t) ** 2), out
+
+        (_, outs), gs = jax.value_and_grad(loss_sh, has_aux=True)(w)
+        (_, outf), gf = jax.value_and_grad(loss_ref, has_aux=True)(w)
+        np.testing.assert_allclose(
+            np.asarray(outs), np.asarray(outf), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gf), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sharded_spmm_no_split(rng):
+    """Sharded exchange over a plain incidence (no self loops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from allset_tpu.graph.incidence import Incidence
+    from allset_tpu.ops.exchange import dir_spmm
+    from allset_tpu.parallel.mesh import make_mesh
+    from allset_tpu.parallel.sharded import ShardedExchange, sharded_spmm
+
+    n, m, nnz = 40, 16, 150
+    node = rng.integers(0, n, size=nnz)
+    edge = np.sort(rng.integers(0, m, size=nnz))
+    inc = Incidence.from_arrays(node, edge, num_nodes=n, num_edges=m, bucket=128)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(inc, mesh).shard()
+
+    w = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    out = np.asarray(sharded_spmm(w, shex.v2e, use_norm=True))
+    want = np.asarray(dir_spmm(w, inc.v2e(), norm=inc.norm))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_setgnn_sharded_exchange_matches_plain(rng):
+    """Full SetGNN forward+grads through the shard_map exchange == the
+    plain (Direction.plain, XLA) path on the same 8-device CPU mesh."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from allset_tpu.graph.batch import Batch
+    from allset_tpu.graph.transforms import (
+        HyperData, add_self_loops, coalesce, norm_construction,
+    )
+    from allset_tpu.models import SetGNN, SetGNNConfig
+    from allset_tpu.parallel.mesh import make_mesh
+    from allset_tpu.parallel.sharded import ShardedExchange
+
+    n, m, nnz = 48, 20, 220
+    node = rng.integers(0, n, size=nnz)
+    edge = rng.integers(0, m, size=nnz)
+    node, edge = coalesce(node, edge)
+    hd = HyperData(
+        x=rng.normal(size=(n, 16)).astype(np.float32),
+        y=rng.integers(0, 4, size=n), node=node, edge=edge,
+        num_nodes=n, num_hyperedges=m,
+    )
+    hd = norm_construction(add_self_loops(hd), "all_one")
+    batch = Batch.from_hyperdata(hd, bucket=128)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(batch.inc, mesh).shard()
+    batch_sh = dataclasses.replace(batch, shex=shex)
+
+    cfg = SetGNNConfig(
+        num_features=16, num_classes=4, all_num_layers=1,
+        mlp_hidden=32, classifier_hidden=32, classifier_num_layers=1,
+        heads=4, dropout=0.0,
+    )
+    model = SetGNN(cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+
+    def loss(v, b):
+        out = model.apply(v, b, False)
+        return jnp.sum(out**2)
+
+    l_sh, g_sh = jax.value_and_grad(loss)(v, batch_sh)
+    l_pl, g_pl = jax.value_and_grad(loss)(v, batch)
+    np.testing.assert_allclose(float(l_sh), float(l_pl), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_sh), jax.tree_util.tree_leaves(g_pl)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
