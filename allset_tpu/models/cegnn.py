@@ -40,8 +40,13 @@ class GCNConv(nn.Module):
         weight = self.param("weight", glorot_uniform(), (x.shape[-1], self.out_channels))
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         h = x @ weight
-        msg = gather_rows(h, g.node) * g.norm[:, None]
-        out = segment_sum(msg, g.edge, g.num_nodes)
+        if g.node_perm is not None:
+            from allset_tpu.ops.exchange import dir_spmm
+
+            out = dir_spmm(h, g.v2e(), norm=g.norm)[: g.num_nodes]
+        else:
+            msg = gather_rows(h, g.node) * g.norm[:, None]
+            out = segment_sum(msg, g.edge, g.num_nodes)
         return out + bias
 
 
@@ -65,10 +70,20 @@ class GATConv(nn.Module):
         a_dst = (h.reshape(-1, H, C) * att_r).sum(-1)
         alpha = gather_rows(a_src, g.node) + gather_rows(a_dst, g.edge)
         alpha = nn.leaky_relu(alpha, self.negative_slope)
-        alpha = segment_softmax(alpha, g.edge, g.num_nodes, mask=g.mask)
+        alpha = segment_softmax(
+            alpha, g.edge, g.num_nodes, mask=g.mask,
+            indices_are_sorted=g.node_perm is not None,
+        )
         alpha = nn.Dropout(self.dropout)(alpha, deterministic=not train)
-        msg = gather_rows(h, g.node) * jnp.repeat(alpha, C, axis=1)
-        out = segment_sum(msg, g.edge, g.num_nodes)
+        if g.node_perm is not None:
+            from allset_tpu.ops.exchange import dir_gather, dir_reduce
+
+            d = g.v2e()
+            msg = dir_gather(h, d) * jnp.repeat(alpha, C, axis=1).astype(h.dtype)
+            out = dir_reduce(msg, d, "add")[: g.num_nodes].astype(h.dtype)
+        else:
+            msg = gather_rows(h, g.node) * jnp.repeat(alpha, C, axis=1)
+            out = segment_sum(msg, g.edge, g.num_nodes)
         if not self.concat:
             out = out.reshape(-1, H, C).mean(axis=1)
         bias = self.param(

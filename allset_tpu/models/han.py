@@ -63,10 +63,20 @@ class DGLGATConv(nn.Module):
         er = (h.reshape(-1, H, C) * attn_r).sum(-1)
         alpha = gather_rows(el, g.node) + gather_rows(er, g.edge)
         alpha = nn.leaky_relu(alpha, self.negative_slope)
-        alpha = segment_softmax(alpha, g.edge, g.num_edges, mask=g.mask)
+        alpha = segment_softmax(
+            alpha, g.edge, g.num_edges, mask=g.mask,
+            indices_are_sorted=g.node_perm is not None,
+        )
         alpha = nn.Dropout(self.attn_drop)(alpha, deterministic=not train)
-        msg = gather_rows(h, g.node) * jnp.repeat(alpha, C, axis=1)
-        out = segment_sum(msg, g.edge, g.num_edges)
+        if g.node_perm is not None:
+            from allset_tpu.ops.exchange import dir_gather, dir_reduce
+
+            d = g.v2e()
+            msg = dir_gather(h, d) * jnp.repeat(alpha, C, axis=1).astype(h.dtype)
+            out = dir_reduce(msg, d, "add").astype(h.dtype)
+        else:
+            msg = gather_rows(h, g.node) * jnp.repeat(alpha, C, axis=1)
+            out = segment_sum(msg, g.edge, g.num_edges)
         if self.use_elu:
             out = nn.elu(out)
         return out  # [T, H*C]

@@ -93,8 +93,17 @@ class HypergraphConv(nn.Module):
                 msg = msg * jnp.repeat(alpha, F, axis=1)
             return segment_sum(msg, dst, num_seg, indices_are_sorted=sorted_)
 
-        out = prop(x, inc.node, inc.edge, m, Binv, True)  # V->E, norm B^-1
-        out = prop(out, inc.edge, inc.node, n, Dinv, False)  # E->V, norm D^-*
+        if alpha is None and inc.node_perm is not None:
+            # sorted-everywhere exchange: per-entry norm gathered from the
+            # destination-side degree vector in each execution order
+            from allset_tpu.ops.exchange import dir_spmm
+
+            dv, de = inc.v2e(), inc.e2v()
+            out = dir_spmm(x, dv, norm=gather_rows(Binv, dv.dst) * dv.mask)
+            out = dir_spmm(out, de, norm=gather_rows(Dinv, de.dst) * de.mask)
+        else:
+            out = prop(x, inc.node, inc.edge, m, Binv, True)  # V->E, norm B^-1
+            out = prop(out, inc.edge, inc.node, n, Dinv, False)  # E->V, norm D^-*
 
         if self.use_attention and not self.concat:
             out = out.reshape(-1, H, F).mean(axis=1)

@@ -37,12 +37,19 @@ class HNHNConv(nn.Module):
         inc = batch.inc
         ex = batch.extras
 
+        from allset_tpu.ops.exchange import dir_spmm
+
         x = TorchDense(self.hidden_channels, name="weight_v2e")(x)
         x = ex["D_v_beta"][:, None] * x
         # V->E: message norm_i = D_e_beta_inv at the destination edge
-        msg = gather_rows(x, inc.node) * gather_rows(ex["D_e_beta_inv"], inc.edge)[:, None]
-        msg = msg * inc.mask[:, None].astype(msg.dtype)
-        out = segment_sum(msg, inc.edge, inc.num_edges, indices_are_sorted=True)
+        if inc.node_perm is not None:
+            dv = inc.v2e()
+            nv = gather_rows(ex["D_e_beta_inv"], dv.dst) * dv.mask
+            out = dir_spmm(x, dv, norm=nv)
+        else:
+            msg = gather_rows(x, inc.node) * gather_rows(ex["D_e_beta_inv"], inc.edge)[:, None]
+            msg = msg * inc.mask[:, None].astype(msg.dtype)
+            out = segment_sum(msg, inc.edge, inc.num_edges, indices_are_sorted=True)
 
         if self.nonlinear_inbetween:
             out = nn.relu(out)
@@ -50,6 +57,10 @@ class HNHNConv(nn.Module):
         out = TorchDense(self.out_channels, name="weight_e2v")(out)
         out = ex["D_e_alpha"][:, None] * out
         # E->V: message norm_i = D_v_alpha_inv at the destination node
+        if inc.node_perm is not None:
+            de = inc.e2v()
+            ne = gather_rows(ex["D_v_alpha_inv"], de.dst) * de.mask
+            return dir_spmm(out, de, norm=ne)
         msg = gather_rows(out, inc.edge) * gather_rows(ex["D_v_alpha_inv"], inc.node)[:, None]
         msg = msg * inc.mask[:, None].astype(msg.dtype)
         return segment_sum(msg, inc.node, inc.num_nodes)

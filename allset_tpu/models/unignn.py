@@ -38,12 +38,25 @@ def normalize_l2(x: Array) -> Array:
 
 
 def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, scale_v=None):
-    xve = gather_rows(x, inc.node)
-    xe = segment_reduce(xve, inc.edge, inc.num_edges, first_aggregate, indices_are_sorted=True)
-    if scale_e is not None:
-        xe = xe * scale_e
-    xev = gather_rows(xe, inc.edge)
-    xv = segment_reduce(xev, inc.node, inc.num_nodes, second_aggregate)
+    """The UniGNN gather/scatter idiom (``src/models.py:627-632``), routed
+    through the sorted-everywhere exchange (Pallas reduces + permute-free
+    backward) whenever the incidence carries the aux."""
+    agg1 = {"sum": "add"}.get(first_aggregate, first_aggregate)
+    agg2 = {"sum": "add"}.get(second_aggregate, second_aggregate)
+    if inc.node_perm is not None:
+        from allset_tpu.ops.exchange import dir_spmm
+
+        xe = dir_spmm(x, inc.v2e(), reduce=agg1)
+        if scale_e is not None:
+            xe = xe * scale_e
+        xv = dir_spmm(xe, inc.e2v(), reduce=agg2)
+    else:
+        xve = gather_rows(x, inc.node)
+        xe = segment_reduce(xve, inc.edge, inc.num_edges, first_aggregate, indices_are_sorted=True)
+        if scale_e is not None:
+            xe = xe * scale_e
+        xev = gather_rows(xe, inc.edge)
+        xv = segment_reduce(xev, inc.node, inc.num_nodes, second_aggregate)
     if scale_v is not None:
         xv = xv * scale_v
     return xv, xe

@@ -1,0 +1,84 @@
+"""Quick fwd+bwd timing for zoo models at bench scale."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out):
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def scan_time(body, init, K=8, n=3):
+    @jax.jit
+    def run(x):
+        return jax.lax.scan(lambda c, _: (body(c), None), x, None, length=K)[0]
+
+    _sync(run(init))
+    best = 1e9
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = run(init)
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / K
+
+
+def main():
+    from allset_tpu.data.synthetic import scale_free_hypergraph
+    from allset_tpu.graph import add_self_loops, norm_construction
+    from allset_tpu.graph.batch import Batch
+    from allset_tpu.graph.transforms import generate_norm_hnhn, unignn_degrees
+
+    hd = scale_free_hypergraph(
+        num_nodes=1 << 17, num_hyperedges=1 << 16, avg_edge_size=12,
+        feature_dim=256, seed=0,
+    )
+    hd = norm_construction(add_self_loops(hd), "all_one")
+
+    from allset_tpu.models.hcha import HCHA, HCHAConfig
+    from allset_tpu.models.hnhn import HNHN, HNHNConfig
+    from allset_tpu.models.unignn import UniGCNII, UniGCNIIConfig
+
+    batch = Batch.from_hyperdata(hd, bucket=1024)
+    nnz = batch.inc.nnz
+
+    def fwd_bwd_time(model, batch):
+        v = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+
+        def body(p):
+            g = jax.grad(
+                lambda p: jnp.sum(model.apply(p, batch, False) ** 2)
+            )(p)
+            return jax.tree_util.tree_map(lambda a, b: a - 0.0 * b, p, g)
+
+        return scan_time(body, v)
+
+    cfg = HCHAConfig(num_features=256, num_classes=8, all_num_layers=2, mlp_hidden=256)
+    t = fwd_bwd_time(HCHA(cfg), batch)
+    print(f"HCHA      fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
+
+    hd2 = generate_norm_hnhn(hd, alpha=-1.5, beta=-0.5)
+    b2 = Batch.from_hyperdata(hd2, bucket=1024)
+    cfg = HNHNConfig(num_features=256, num_classes=8, all_num_layers=2, mlp_hidden=256)
+    t = fwd_bwd_time(HNHN(cfg), b2)
+    print(f"HNHN      fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
+
+    hd3 = hd.copy()
+    degV, degE = unignn_degrees(hd3)
+    hd3.extras = dict(hd3.extras, degV=degV, degE=degE)
+    b3 = Batch.from_hyperdata(hd3, bucket=1024)
+    cfg = UniGCNIIConfig(num_features=256, num_classes=8, all_num_layers=2, mlp_hidden=256)
+    t = fwd_bwd_time(UniGCNII(cfg), b3)
+    print(f"UniGCNII  fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
+
+
+if __name__ == "__main__":
+    main()
