@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run statistical replicas sequentially (low-memory)")
     p.add_argument("--preset", action="store_true",
                    help="apply the tuned per-dataset AllSetTransformer preset")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed precision on the compute path")
     p.add_argument("--plot", default=None, metavar="PATH",
                    help="save train/valid/test accuracy curves (the "
                         "reference Logger.plot_result, src/train.py:152-167)")
@@ -128,6 +131,7 @@ def main(argv=None) -> int:
         unignn_model_name=args.UniGNN_model_name,
         unignn_use_norm=args.UniGNN_use_norm,
         seed=args.seed,
+        dtype=args.dtype,
     )
 
     model, batch, tx = prepare(cfg, data)

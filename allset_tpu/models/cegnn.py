@@ -33,26 +33,31 @@ class GCNConv(nn.Module):
     """PyG GCNConv(normalize=False): out = scatter(norm * (XW)[src] -> dst) + b."""
 
     out_channels: int
+    dtype: object = None  # jnp.bfloat16 for mixed precision
 
     @nn.compact
     def __call__(self, x: Array, batch: Batch) -> Array:
         g = batch.inc  # V2V graph: node=src, edge=dst, norm=weights
         weight = self.param("weight", glorot_uniform(), (x.shape[-1], self.out_channels))
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            weight = weight.astype(self.dtype)
         h = x @ weight
         if g.node_perm is not None:
             from allset_tpu.ops.exchange import dir_spmm
 
             out = dir_spmm(h, g.v2e(), norm=g.norm)[: g.num_nodes]
         else:
-            msg = gather_rows(h, g.node) * g.norm[:, None]
+            msg = gather_rows(h, g.node) * g.norm[:, None].astype(h.dtype)
             out = segment_sum(msg, g.edge, g.num_nodes)
-        return out + bias
+        return out + bias.astype(out.dtype)
 
 
 class GATConv(nn.Module):
     out_channels: int
     heads: int = 1
+    dtype: object = None
     concat: bool = True
     negative_slope: float = 0.2
     dropout: float = 0.6
@@ -65,9 +70,12 @@ class GATConv(nn.Module):
         att_l = self.param("att_l", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
         att_r = self.param("att_r", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
 
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            weight = weight.astype(self.dtype)
         h = x @ weight  # flat [N, H*C] (see PMA's TPU layout note)
-        a_src = (h.reshape(-1, H, C) * att_l).sum(-1)  # [N, H]
-        a_dst = (h.reshape(-1, H, C) * att_r).sum(-1)
+        a_src = (h.reshape(-1, H, C) * att_l).sum(-1).astype(jnp.float32)  # [N, H]
+        a_dst = (h.reshape(-1, H, C) * att_r).sum(-1).astype(jnp.float32)
         alpha = gather_rows(a_src, g.node) + gather_rows(a_dst, g.edge)
         alpha = nn.leaky_relu(alpha, self.negative_slope)
         alpha = segment_softmax(
@@ -89,7 +97,7 @@ class GATConv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (H * C if self.concat else C,)
         )
-        return out + bias
+        return out + bias.astype(out.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,6 +110,11 @@ class CEConfig:
     normalization: str = "None"  # 'bn' or anything-else->Identity (ref default)
     heads: int = 1
     output_heads: int = 1
+    dtype: str = "float32"  # 'bfloat16' -> mixed precision
+
+
+def _dt(cfg):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else None
 
 
 class CEGCN(nn.Module):
@@ -115,14 +128,14 @@ class CEGCN(nn.Module):
         x = batch.x
         widths = [c.mlp_hidden] * (c.all_num_layers - 1) + [c.num_classes]
         for i, w in enumerate(widths):
-            x = GCNConv(w, name=f"conv{i}")(x, batch)
+            x = GCNConv(w, dtype=_dt(c), name=f"conv{i}")(x, batch)
             if i < len(widths) - 1:
                 x = nn.relu(x)
                 if c.normalization == "bn":
                     x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                      epsilon=1e-5, name=f"bn{i}")(x)
                 x = nn.Dropout(c.dropout)(x, deterministic=not train)
-        return x
+        return x.astype(jnp.float32)
 
 
 class CEGAT(nn.Module):
@@ -135,7 +148,7 @@ class CEGAT(nn.Module):
         c = self.cfg
         x = batch.x
         for i in range(c.all_num_layers - 1):
-            x = GATConv(c.mlp_hidden, heads=c.heads, concat=True, name=f"conv{i}")(
+            x = GATConv(c.mlp_hidden, heads=c.heads, concat=True, dtype=_dt(c), name=f"conv{i}")(
                 x, batch, train
             )
             x = nn.relu(x)
@@ -144,7 +157,7 @@ class CEGAT(nn.Module):
                                  epsilon=1e-5, name=f"bn{i}")(x)
             x = nn.Dropout(c.dropout)(x, deterministic=not train)
         x = GATConv(
-            c.num_classes, heads=c.output_heads, concat=False,
+            c.num_classes, heads=c.output_heads, concat=False, dtype=_dt(c),
             name=f"conv{c.all_num_layers - 1}",
         )(x, batch, train)
-        return x
+        return x.astype(jnp.float32)

@@ -46,6 +46,7 @@ class HypergraphConv(nn.Module):
     negative_slope: float = 0.2
     dropout: float = 0.0
     use_bias: bool = True
+    dtype: object = None  # jnp.bfloat16 for mixed precision
 
     @nn.compact
     def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
@@ -57,6 +58,9 @@ class HypergraphConv(nn.Module):
         weight = self.param(
             "weight", glorot_uniform(), (x.shape[-1], H * F)
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            weight = weight.astype(self.dtype)
         x = x @ weight
 
         alpha = None
@@ -85,7 +89,7 @@ class HypergraphConv(nn.Module):
             Dinv = _safe_inv(D)
         else:
             Dinv = _safe_inv(D, 0.5)
-            x = Dinv[:, None] * x
+            x = Dinv[:, None].astype(x.dtype) * x
 
         def prop(h, src, dst, num_seg, norm_dst, sorted_):
             msg = gather_rows(h, src) * gather_rows(norm_dst, dst)[:, None]
@@ -109,7 +113,7 @@ class HypergraphConv(nn.Module):
             out = out.reshape(-1, H, F).mean(axis=1)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (H * F if (self.use_attention and self.concat) else F,))
-            out = out + bias
+            out = out + bias.astype(out.dtype)
         return out
 
 
@@ -121,6 +125,7 @@ class HCHAConfig:
     mlp_hidden: int = 64
     dropout: float = 0.5
     symdegnorm: bool = False  # True -> the HGNN variant
+    dtype: str = "float32"  # 'bfloat16' -> mixed precision
 
 
 class HCHA(nn.Module):
@@ -131,12 +136,14 @@ class HCHA(nn.Module):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else None
         x = batch.x
         widths = [c.mlp_hidden] * (c.all_num_layers - 1) + [c.num_classes]
         for i, w in enumerate(widths):
-            conv = HypergraphConv(out_channels=w, symdegnorm=c.symdegnorm, name=f"conv{i}")
+            conv = HypergraphConv(out_channels=w, symdegnorm=c.symdegnorm,
+                                  dtype=dt, name=f"conv{i}")
             x = conv(x, batch, train)
             if i < len(widths) - 1:
                 x = nn.elu(x)
                 x = nn.Dropout(c.dropout)(x, deterministic=not train)
-        return x
+        return x.astype(jnp.float32)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from allset_tpu.graph.batch import Batch
@@ -31,6 +32,7 @@ class HNHNConv(nn.Module):
     hidden_channels: int
     out_channels: int
     nonlinear_inbetween: bool = True
+    dtype: object = None  # jnp.bfloat16 for mixed precision
 
     @nn.compact
     def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
@@ -39,8 +41,8 @@ class HNHNConv(nn.Module):
 
         from allset_tpu.ops.exchange import dir_spmm
 
-        x = TorchDense(self.hidden_channels, name="weight_v2e")(x)
-        x = ex["D_v_beta"][:, None] * x
+        x = TorchDense(self.hidden_channels, dtype=self.dtype, name="weight_v2e")(x)
+        x = ex["D_v_beta"][:, None].astype(x.dtype) * x
         # V->E: message norm_i = D_e_beta_inv at the destination edge
         if inc.node_perm is not None:
             dv = inc.v2e()
@@ -54,8 +56,8 @@ class HNHNConv(nn.Module):
         if self.nonlinear_inbetween:
             out = nn.relu(out)
 
-        out = TorchDense(self.out_channels, name="weight_e2v")(out)
-        out = ex["D_e_alpha"][:, None] * out
+        out = TorchDense(self.out_channels, dtype=self.dtype, name="weight_e2v")(out)
+        out = ex["D_e_alpha"][:, None].astype(out.dtype) * out
         # E->V: message norm_i = D_v_alpha_inv at the destination node
         if inc.node_perm is not None:
             de = inc.e2v()
@@ -74,6 +76,7 @@ class HNHNConfig:
     mlp_hidden: int = 64
     dropout: float = 0.5
     nonlinear_inbetween: bool = True
+    dtype: str = "float32"  # 'bfloat16' -> mixed precision (f32 reduce accum)
 
 
 class HNHN(nn.Module):
@@ -82,16 +85,18 @@ class HNHN(nn.Module):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else None
         x = batch.x
+        if dt is not None:
+            x = x.astype(dt)
         if c.all_num_layers == 1:
-            return HNHNConv(c.mlp_hidden, c.num_classes,
-                            c.nonlinear_inbetween, name="conv0")(x, batch, train)
+            return HNHNConv(c.mlp_hidden, c.num_classes, c.nonlinear_inbetween,
+                            dtype=dt, name="conv0")(x, batch, train).astype(jnp.float32)
         widths = [c.mlp_hidden] * (c.all_num_layers - 1) + [c.num_classes]
         for i, w in enumerate(widths):
-            x = HNHNConv(c.mlp_hidden, w, c.nonlinear_inbetween, name=f"conv{i}")(
-                x, batch, train
-            )
+            x = HNHNConv(c.mlp_hidden, w, c.nonlinear_inbetween, dtype=dt,
+                         name=f"conv{i}")(x, batch, train)
             if i < len(widths) - 1:
                 x = nn.relu(x)
                 x = nn.Dropout(c.dropout)(x, deterministic=not train)
-        return x
+        return x.astype(jnp.float32)

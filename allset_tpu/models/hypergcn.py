@@ -138,6 +138,10 @@ class HyperGCNLayer(nn.Module):
         W = self.param("W", uniform_symmetric(std), (x.shape[-1], self.out_features))
         b = self.param("bias", uniform_symmetric(std), (self.out_features,))
         hw = x @ W
+        if struct.node_perm is not None:
+            from allset_tpu.ops.exchange import dir_spmm
+
+            return dir_spmm(hw, struct.v2e(), norm=struct.norm)[: struct.num_nodes] + b
         msg = gather_rows(hw, struct.node) * struct.norm[:, None]
         return segment_sum(msg, struct.edge, struct.num_nodes, indices_are_sorted=True) + b
 

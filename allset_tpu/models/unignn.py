@@ -48,17 +48,17 @@ def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, sc
 
         xe = dir_spmm(x, inc.v2e(), reduce=agg1)
         if scale_e is not None:
-            xe = xe * scale_e
+            xe = xe * scale_e.astype(xe.dtype)
         xv = dir_spmm(xe, inc.e2v(), reduce=agg2)
     else:
         xve = gather_rows(x, inc.node)
         xe = segment_reduce(xve, inc.edge, inc.num_edges, first_aggregate, indices_are_sorted=True)
         if scale_e is not None:
-            xe = xe * scale_e
+            xe = xe * scale_e.astype(xe.dtype)
         xev = gather_rows(xe, inc.edge)
         xv = segment_reduce(xev, inc.node, inc.num_nodes, second_aggregate)
     if scale_v is not None:
-        xv = xv * scale_v
+        xv = xv * scale_v.astype(xv.dtype)
     return xv, xe
 
 
@@ -77,6 +77,11 @@ class UniGNNConfig:
     second_aggregate: str = "sum"
     use_norm: bool = False
     activation: str = "relu"
+    dtype: str = "float32"  # 'bfloat16' -> mixed precision
+
+
+def _dt(cfg):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else None
 
 
 class UniSAGEConv(nn.Module):
@@ -87,7 +92,7 @@ class UniSAGEConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
-        x = TorchDense(self.heads * self.out_channels, use_bias=False, name="W")(x)
+        x = TorchDense(self.heads * self.out_channels, use_bias=False, dtype=_dt(c), name="W")(x)
         xv, _ = _two_stage(x, batch.inc, c.first_aggregate, c.second_aggregate)
         x = x + xv
         return normalize_l2(x) if c.use_norm else x
@@ -102,7 +107,7 @@ class UniGINConv(nn.Module):
     def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
         eps = self.param("eps", nn.initializers.zeros, (1,))
-        x = TorchDense(self.heads * self.out_channels, use_bias=False, name="W")(x)
+        x = TorchDense(self.heads * self.out_channels, use_bias=False, dtype=_dt(c), name="W")(x)
         xv, _ = _two_stage(x, batch.inc, c.first_aggregate, "sum")
         x = (1 + eps) * x + xv
         return normalize_l2(x) if c.use_norm else x
@@ -117,7 +122,7 @@ class UniGCNConv(nn.Module):
     def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
         degV, degE = batch.extras["degV"], batch.extras["degE"]
-        x = TorchDense(self.heads * self.out_channels, use_bias=False, name="W")(x)
+        x = TorchDense(self.heads * self.out_channels, use_bias=False, dtype=_dt(c), name="W")(x)
         xv, _ = _two_stage(x, batch.inc, c.first_aggregate, "sum",
                            scale_e=degE, scale_v=degV)
         return normalize_l2(xv) if c.use_norm else xv
@@ -138,7 +143,7 @@ class UniGCNConv2(nn.Module):
                            scale_e=degE, scale_v=degV)
         if c.use_norm:
             xv = normalize_l2(xv)
-        return TorchDense(self.heads * self.out_channels, use_bias=True, name="W")(xv)
+        return TorchDense(self.heads * self.out_channels, use_bias=True, dtype=_dt(c), name="W")(xv)
 
 
 class UniGATConv(nn.Module):
@@ -153,7 +158,7 @@ class UniGATConv(nn.Module):
         c = self.cfg
         inc = batch.inc
         H, C = self.heads, self.out_channels
-        x0 = TorchDense(H * C, use_bias=False, name="W")(x)
+        x0 = TorchDense(H * C, use_bias=False, dtype=_dt(c), name="W")(x)
 
         # flat [rows, H*C] layout throughout (see PMA's TPU layout note)
         xve = gather_rows(x0, inc.node)
@@ -166,7 +171,7 @@ class UniGATConv(nn.Module):
         alpha = segment_softmax(alpha, inc.node, inc.num_nodes, mask=inc.mask)
         alpha = nn.Dropout(c.attn_drop)(alpha, deterministic=not train)
 
-        xev = gather_rows(xe, inc.edge) * jnp.repeat(alpha, C, axis=1)
+        xev = gather_rows(xe, inc.edge) * jnp.repeat(alpha, C, axis=1).astype(xe.dtype)
         out = segment_sum(xev, inc.node, inc.num_nodes)
         if c.use_norm:
             out = normalize_l2(out)
@@ -202,7 +207,7 @@ class UniGNN(nn.Module):
             x = act(x)
             x = nn.Dropout(c.dropout)(x, deterministic=not train)
         x = Conv(c, c.num_classes, heads=1, name="conv_out")(x, batch, train)
-        return x
+        return x.astype(jnp.float32)
 
 
 class UniGCNIIConv(nn.Module):
@@ -217,8 +222,8 @@ class UniGCNIIConv(nn.Module):
         xv, _ = _two_stage(x, batch.inc, "mean", "sum", scale_e=degE, scale_v=degV)
         if self.cfg.use_norm:
             xv = normalize_l2(xv)
-        xi = (1 - alpha) * xv + alpha * x0
-        w = TorchDense(self.out_features, use_bias=False, name="W")
+        xi = (1 - alpha) * xv + alpha * x0.astype(xv.dtype)
+        w = TorchDense(self.out_features, use_bias=False, dtype=_dt(self.cfg), name="W")
         return (1 - beta) * xi + beta * w(xi)
 
 
@@ -230,6 +235,7 @@ class UniGCNIIConfig:
     mlp_hidden: int = 64
     heads: int = 1
     use_norm: bool = False
+    dtype: str = "float32"  # 'bfloat16' -> mixed precision
 
 
 class UniGCNII(nn.Module):
@@ -247,7 +253,7 @@ class UniGCNII(nn.Module):
         lamda, alpha = 0.5, 0.1
 
         x = drop(batch.x, deterministic=not train)
-        x = nn.relu(TorchDense(nhid, name="lin_in")(x))
+        x = nn.relu(TorchDense(nhid, dtype=_dt(c), name="lin_in")(x))
         x0 = x
         for i in range(c.all_num_layers):
             x = drop(x, deterministic=not train)
@@ -256,4 +262,4 @@ class UniGCNII(nn.Module):
                 UniGCNIIConv(c, nhid, name=f"conv{i}")(x, x0, alpha, beta, batch)
             )
         x = drop(x, deterministic=not train)
-        return TorchDense(c.num_classes, name="lin_out")(x)
+        return TorchDense(c.num_classes, dtype=_dt(c), name="lin_out")(x).astype(jnp.float32)

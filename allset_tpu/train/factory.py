@@ -105,6 +105,9 @@ class ExperimentConfig:
     # misc
     seed: int = 0
     bucket: int = 256
+    # 'float32' (reference parity) | 'bfloat16' (mixed precision: bf16
+    # activations/GEMMs/sparse traffic, f32 params + stats)
+    dtype: str = "float32"
 
 
 def prepare(
@@ -142,6 +145,7 @@ def prepare(
             deepset_input_norm=cfg.deepset_input_norm,
             gpr=cfg.gpr,
             learn_mask=cfg.learn_mask,
+            dtype=cfg.dtype,
         )
         if method == "AllDeepSets":
             mcfg = SetGNNConfig.all_deep_sets(**kw)
@@ -170,6 +174,7 @@ def prepare(
             all_num_layers=cfg.all_num_layers, mlp_hidden=cfg.mlp_hidden,
             dropout=cfg.dropout, normalization=cfg.normalization,
             heads=cfg.heads, output_heads=cfg.output_heads,
+            dtype=cfg.dtype,
         )
         model = CEGCN(ce) if method == "CEGCN" else CEGAT(ce)
 
@@ -210,6 +215,7 @@ def prepare(
             # --method HGNN routes to HCHA with the symmetric degree norm
             # (src/train.py:77-82)
             symdegnorm=(method == "HGNN") or cfg.hcha_symdegnorm,
+            dtype=cfg.dtype,
         ))
 
     elif method == "HNHN":
@@ -221,6 +227,7 @@ def prepare(
             all_num_layers=cfg.all_num_layers, mlp_hidden=cfg.mlp_hidden,
             dropout=cfg.dropout,
             nonlinear_inbetween=cfg.hnhn_nonlinear_inbetween,
+            dtype=cfg.dtype,
         ))
 
     elif method == "MLP":
@@ -243,6 +250,7 @@ def prepare(
                 num_features=num_features, num_classes=num_classes,
                 all_num_layers=cfg.all_num_layers, mlp_hidden=cfg.mlp_hidden,
                 heads=cfg.heads, use_norm=cfg.unignn_use_norm,
+                dtype=cfg.dtype,
             ))
             tx = unigcnii_optimizer()
         else:
@@ -251,7 +259,7 @@ def prepare(
                 model_name=cfg.unignn_model_name,
                 all_num_layers=cfg.all_num_layers, mlp_hidden=cfg.mlp_hidden,
                 heads=cfg.heads, dropout=cfg.dropout,
-                use_norm=cfg.unignn_use_norm,
+                use_norm=cfg.unignn_use_norm, dtype=cfg.dtype,
             ))
 
     else:

@@ -88,3 +88,27 @@ def test_bfloat16_mixed_precision_learns():
     assert np.all(np.isfinite(res.metrics))
     mean_test, _ = res.best_by_valid()["final_test"]
     assert mean_test > 60.0, f"bf16 failed to learn: {mean_test}"
+
+
+def test_zoo_bfloat16_trains():
+    """Mixed-precision zoo models learn on the synthetic task."""
+    from allset_tpu.data.synthetic import synthetic_hypergraph
+    from allset_tpu.train import TrainConfig, Trainer
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+
+    hd = synthetic_hypergraph(
+        num_nodes=120, num_hyperedges=60, num_classes=3, feature_dim=16, seed=3
+    )
+    for method in ("HCHA", "HNHN", "UniGCNII"):
+        cfg = ExperimentConfig(
+            method=method, epochs=60, runs=1, all_num_layers=2,
+            mlp_hidden=32, dtype="bfloat16",
+        )
+        model, batch, tx = prepare(cfg, hd)
+        res = Trainer(
+            model, batch,
+            TrainConfig(epochs=60, runs=1, lr=0.01, wd=0.0, seed=0),
+            tx=tx,
+        ).fit()
+        acc = res.best_by_valid()["final_train"][0]
+        assert acc > 50.0, f"{method} bf16 failed to learn: {acc}"
