@@ -145,7 +145,10 @@ class Incidence:
 
         if sort_by_edge and nnz:
             # stable sort: canonical segment order for the V2E direction
-            order = np.argsort(edge, kind="stable")
+            # (native counting sort when built: O(nnz + M))
+            from allset_tpu.graph import native
+
+            order = native.stable_argsort(edge, int(num_edges) + 1)
             node, edge, norm = node[order], edge[order], norm[order]
 
         # self-loop suffix split (valid only in canonical order)
@@ -220,7 +223,9 @@ class Incidence:
             )
             # node-sorted second ordering (padded entries sort last: their
             # node id == num_nodes exceeds every valid id; stable sort)
-            nperm = np.argsort(node, kind="stable").astype(np.int32)
+            from allset_tpu.graph import native
+
+            nperm = native.stable_argsort(node, int(num_nodes) + 1).astype(np.int32)
             inv = np.empty_like(nperm)
             inv[nperm] = np.arange(npad, dtype=np.int32)
             nsorted = node[nperm]

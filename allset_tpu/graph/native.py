@@ -50,6 +50,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.hypercore_coalesce.argtypes = [I64P, I64P, ctypes.c_int64, I64P, I64P]
         lib.hypercore_indptr.restype = None
         lib.hypercore_indptr.argtypes = [I64P, ctypes.c_int64, ctypes.c_int64, I64P]
+        lib.hypercore_counting_argsort.restype = None
+        lib.hypercore_counting_argsort.argtypes = [
+            I64P, ctypes.c_int64, ctypes.c_int64, I64P,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -104,4 +108,24 @@ def indptr(sorted_ids: np.ndarray, num_segments: int) -> Optional[np.ndarray]:
     sorted_ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
     out = np.empty(num_segments + 1, np.int64)
     lib.hypercore_indptr(sorted_ids, len(sorted_ids), num_segments, out)
+    return out
+
+
+def counting_argsort(keys: np.ndarray, num_keys: int) -> Optional[np.ndarray]:
+    """Stable argsort of integer keys in [0, num_keys): O(n + K) counting
+    sort in C++ vs numpy's comparison sort. None when the lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    out = np.empty(len(keys), np.int64)
+    lib.hypercore_counting_argsort(keys, len(keys), int(num_keys), out)
+    return out
+
+
+def stable_argsort(keys: np.ndarray, num_keys: int) -> np.ndarray:
+    """counting_argsort with the numpy fallback baked in."""
+    out = counting_argsort(keys, num_keys)
+    if out is None:
+        out = np.argsort(keys, kind="stable")
     return out

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from allset_tpu.graph import native
 from allset_tpu.graph.incidence import Incidence
 from allset_tpu.ops.exchange import _sorted_sum
 from allset_tpu.ops.pallas_segment import pad_for_kernel
@@ -121,7 +122,7 @@ def _build_one(dst, src, norm, num_src, num_dst, D, s_blk, chunk):
         S["block_indptr"][d] = np.searchsorted(
             sdst, np.arange(0, rows + s_blk, s_blk)
         )
-        order = np.argsort(ssrc, kind="stable")
+        order = native.stable_argsort(ssrc, num_src + 1)
         S["src_sorted"][d, :k] = ssrc[order]
         S["dst_srcsort_local"][d, :k] = sdst[order]
         S["norm_srcsort"][d, :k] = snorm[order]
@@ -184,7 +185,7 @@ class ShardedExchange:
         )
 
         # E2V: node-sorted entry order
-        order = np.argsort(n, kind="stable")
+        order = native.stable_argsort(n, core.num_nodes + 1)
         Se, rows_e, npad_dst, mpad_src = _build_one(
             n[order], e[order], w[order],
             core.num_edges, core.num_nodes, D, s_blk, chunk,

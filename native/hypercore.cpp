@@ -89,4 +89,17 @@ void hypercore_indptr(const int64_t* sorted_ids, int64_t nnz,
     }
 }
 
+// Stable counting argsort over small-ranged integer keys (node/hyperedge
+// ids): O(n + K) vs numpy's O(n log n) comparison argsort. This is the
+// host-side hot loop of Incidence.from_arrays (canonical edge sort +
+// node-sorted second ordering) and of the sharded-exchange partition
+// builder (per-shard src sorts).
+void hypercore_counting_argsort(const int64_t* keys, int64_t n,
+                                int64_t num_keys, int64_t* out_perm) {
+    std::vector<int64_t> counts(num_keys + 1, 0);
+    for (int64_t t = 0; t < n; ++t) counts[keys[t] + 1]++;
+    for (int64_t k = 0; k < num_keys; ++k) counts[k + 1] += counts[k];
+    for (int64_t t = 0; t < n; ++t) out_perm[counts[keys[t]]++] = t;
+}
+
 }  // extern "C"

@@ -101,3 +101,18 @@ def test_construct_v2v_uses_native_and_agrees():
     got = {(int(i), int(j)): float(w) for i, j, w in zip(*got_pairs, got_w)}
     ref = {(int(i), int(j)): float(w) for i, j, w in zip(*ref_pairs, ref_w)}
     assert got == ref
+
+
+def test_counting_argsort_matches_numpy():
+    from allset_tpu.graph import native
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 50, size=500)
+    got = native.stable_argsort(keys, 50)
+    want = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got, want)
+    # keys at the boundary value (padding ids == num_keys-1) sort last
+    keys = np.array([3, 1, 3, 0, 2, 3])
+    np.testing.assert_array_equal(
+        native.stable_argsort(keys, 4), np.argsort(keys, kind="stable")
+    )
