@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plot", default=None, metavar="PATH",
                    help="save train/valid/test accuracy curves (the "
                         "reference Logger.plot_result, src/train.py:152-167)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run "
+                        "(TensorBoard/Perfetto; see benchmarks/trace_step.py "
+                        "for an in-process xplane reader)")
     return p
 
 
@@ -145,7 +149,14 @@ def main(argv=None) -> int:
         ),
         tx=tx,
     )
-    res = trainer.fit()
+    if args.profile:
+        from allset_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            res = trainer.fit()
+        print(f"Saved profiler trace to {args.profile}")
+    else:
+        res = trainer.fit()
     print(res.summary())
     if args.plot:
         print(f"Saved accuracy curves to {res.plot(args.plot)}")

@@ -16,17 +16,26 @@ import jax
 import numpy as np
 
 
+def _fence(out) -> None:
+    """Device fence: block_until_ready is not reliable through tunneled
+    PJRT plugins (axon); force a device->host transfer of one element of
+    every output leaf instead."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2):
     """Median/min/mean seconds per call, device-fenced."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _fence(out)
         times.append(time.perf_counter() - t0)
     t = np.asarray(times)
     return {
