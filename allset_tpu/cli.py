@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--display_step", type=int, default=-1)
     p.add_argument("--no_vmap_runs", action="store_true",
                    help="run statistical replicas sequentially (low-memory)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forward activations in the backward "
+                        "(jax.checkpoint): bigger graphs per chip")
     p.add_argument("--preset", action="store_true",
                    help="apply the tuned per-dataset AllSetTransformer preset")
     p.add_argument("--dtype", default="float32",
@@ -146,6 +149,7 @@ def main(argv=None) -> int:
             epochs=cfg.epochs, runs=cfg.runs, lr=cfg.lr, wd=cfg.wd,
             train_prop=cfg.train_prop, valid_prop=cfg.valid_prop,
             vmap_runs=not args.no_vmap_runs, seed=cfg.seed,
+            remat=args.remat,
         ),
         tx=tx,
     )

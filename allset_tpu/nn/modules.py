@@ -185,6 +185,12 @@ class PMA(nn.Module):
         alpha = nn.leaky_relu(alpha, self.negative_slope)
 
         if self.softmax_mode == "segment":
+            # parity path: per-segment max softmax; does not compose with
+            # the self-loop split layout (SetGNN only builds split
+            # Directions for the default 'global' mode)
+            assert getattr(d, "sl_mode", "none") == "none", (
+                "PMA softmax_mode='segment' requires an unsplit Direction"
+            )
             packed = jnp.concatenate([x_V, alpha.astype(x_V.dtype)], axis=1)
             g = dir_gather(packed, d)
             x_j, a_j = g[:, :HC], g[:, HC:].astype(jnp.float32)

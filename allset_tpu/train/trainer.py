@@ -51,6 +51,10 @@ class TrainConfig:
     vmap_runs: bool = True  # parallelize statistical runs on-device
     eval_every: int = 1  # reference evaluates every epoch (train.py:486)
     seed: int = 0
+    # rematerialize the forward in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(activations) memory — lets
+    # much larger graphs (or more vmapped runs) fit per chip
+    remat: bool = False
 
 
 def torch_adam(lr: float, wd: float) -> optax.GradientTransformation:
@@ -139,6 +143,8 @@ class Trainer:
             logits, new_stats = self._apply(p, batch_stats, True, rng)
             return masked_nll(logits, y, masks["train"]), new_stats
 
+        if self.cfg.remat:
+            loss_fn = jax.checkpoint(loss_fn)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

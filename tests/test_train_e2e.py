@@ -112,3 +112,26 @@ def test_zoo_bfloat16_trains():
         ).fit()
         acc = res.best_by_valid()["final_train"][0]
         assert acc > 50.0, f"{method} bf16 failed to learn: {acc}"
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint must not change the math (activations recomputed)."""
+    from allset_tpu.data.synthetic import synthetic_hypergraph
+    from allset_tpu.train import TrainConfig, Trainer
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+
+    hd = synthetic_hypergraph(
+        num_nodes=80, num_hyperedges=40, num_classes=3, feature_dim=12, seed=5
+    )
+    res = []
+    for remat in (False, True):
+        cfg = ExperimentConfig(method="AllSetTransformer", epochs=20, runs=1,
+                               all_num_layers=1, mlp_hidden=16, heads=2)
+        model, batch, tx = prepare(cfg, hd)
+        r = Trainer(
+            model, batch,
+            TrainConfig(epochs=20, runs=1, lr=0.01, wd=0.0, seed=0, remat=remat),
+            tx=tx,
+        ).fit()
+        res.append(r.metrics)
+    np.testing.assert_allclose(res[0], res[1], rtol=1e-4, atol=1e-5)
