@@ -118,6 +118,7 @@ class HyperGCNConfig:
     mediators: bool = True
     fast: bool = True
     dname: str = ""  # citeseer gets wider powers (src/models.py:43-44)
+    dtype: str = "float32"  # 'bfloat16' -> mixed precision (fast path)
 
     def widths(self) -> List[int]:
         l = self.all_num_layers
@@ -131,19 +132,25 @@ class HyperGCNConfig:
 
 class HyperGCNLayer(nn.Module):
     out_features: int
+    dtype: object = None  # jnp.bfloat16 for mixed precision
 
     @nn.compact
     def __call__(self, x: Array, struct: Incidence) -> Array:
         std = 1.0 / np.sqrt(self.out_features)
         W = self.param("W", uniform_symmetric(std), (x.shape[-1], self.out_features))
         b = self.param("bias", uniform_symmetric(std), (self.out_features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            W = W.astype(self.dtype)
         hw = x @ W
         if struct.node_perm is not None:
             from allset_tpu.ops.exchange import dir_spmm
 
-            return dir_spmm(hw, struct.v2e(), norm=struct.norm)[: struct.num_nodes] + b
-        msg = gather_rows(hw, struct.node) * struct.norm[:, None]
-        return segment_sum(msg, struct.edge, struct.num_nodes, indices_are_sorted=True) + b
+            out = dir_spmm(hw, struct.v2e(), norm=struct.norm)[: struct.num_nodes]
+            return out + b.astype(out.dtype)
+        msg = gather_rows(hw, struct.node) * struct.norm[:, None].astype(hw.dtype)
+        out = segment_sum(msg, struct.edge, struct.num_nodes, indices_are_sorted=True)
+        return out + b.astype(out.dtype)
 
 
 class HyperGCN(nn.Module):
@@ -156,23 +163,28 @@ class HyperGCN(nn.Module):
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
-        ex = batch.extras
-        struct = Incidence(
-            node=ex["hypergcn_node"],
-            edge=ex["hypergcn_edge"],
-            norm=ex["hypergcn_norm"],
-            mask=ex["hypergcn_mask"],
-            num_nodes=batch.num_nodes,
-            num_edges=batch.num_nodes,
-            nnz=int(ex["hypergcn_node"].shape[0]),
-        )
-        h = batch.x
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else None
+        if batch.inc is not None:
+            # preferred: the full Incidence (keeps the sorted-exchange aux)
+            struct = batch.inc
+        else:
+            ex = batch.extras
+            struct = Incidence(
+                node=ex["hypergcn_node"],
+                edge=ex["hypergcn_edge"],
+                norm=ex["hypergcn_norm"],
+                mask=ex["hypergcn_mask"],
+                num_nodes=batch.num_nodes,
+                num_edges=batch.num_nodes,
+                nnz=int(ex["hypergcn_node"].shape[0]),
+            )
+        h = batch.x if dt is None else batch.x.astype(dt)
         widths = c.widths()[1:]
         for i, w in enumerate(widths):
-            h = nn.relu(HyperGCNLayer(w, name=f"layer{i}")(h, struct))
+            h = nn.relu(HyperGCNLayer(w, dtype=dt, name=f"layer{i}")(h, struct))
             if i < len(widths) - 1:
                 h = nn.Dropout(c.dropout)(h, deterministic=not train)
-        return h
+        return h.astype(jnp.float32)
 
 
 def hypergcn_extras(struct: Incidence) -> Dict[str, Array]:

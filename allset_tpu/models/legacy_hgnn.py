@@ -54,6 +54,7 @@ class MLPConfig:
     mlp_hidden: int = 64
     dropout: float = 0.5
     normalization: str = "ln"
+    dtype: str = "float32"  # 'bfloat16' -> mixed precision
 
 
 class MLPModel(nn.Module):
@@ -63,9 +64,13 @@ class MLPModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> Array:
+        import jax.numpy as jnp
+
         from allset_tpu.nn.modules import MLP
 
         c = self.cfg
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else None
+        x = batch.x if dt is None else batch.x.astype(dt)
         return MLP(
             hidden_channels=c.mlp_hidden,
             out_channels=c.num_classes,
@@ -73,5 +78,6 @@ class MLPModel(nn.Module):
             dropout=c.dropout,
             normalization=c.normalization,
             input_norm=False,
+            dtype=dt,
             name="mlp",
-        )(batch.x, train)
+        )(x, train).astype(jnp.float32)

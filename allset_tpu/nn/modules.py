@@ -221,7 +221,11 @@ class PMA(nn.Module):
             denom = jnp.repeat(denom_h, C, axis=1)
             out = agg[:, :HC] / denom
             if self.return_attention:
-                # per-entry weight = e[src] / denom[dst] (debug/parity API)
+                # per-entry weight = e[src] / denom[dst] (debug/parity API;
+                # single-chip Directions only — sharded src/dst are [D, .])
+                assert getattr(d, "mesh", None) is None, (
+                    "return_attention requires a single-chip Direction"
+                )
                 e_j = jnp.take(e, d.src, axis=0, mode="clip")
                 den_j = jnp.take(denom_h, d.dst, axis=0, mode="clip")
                 attn = (e_j.astype(jnp.float32) / den_j.astype(jnp.float32))

@@ -28,6 +28,8 @@ and the permutation trick are single-chip; GSPMD handles the rest).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -52,14 +54,52 @@ def kernel_active(d, F: int) -> bool:
         and plat in ("tpu", "axon")
         and (jax.device_count() == 1 or sharded)
         and d.s_blk > 0
+        and not _XLA_ONLY.get()
     )
 
 
-def _kernel_ok(d, block_indptr, nrows: int, F: int, dtype) -> bool:
+class _KernelView:
+    """Minimal static view for _kernel_ok when no Direction is at hand
+    (gather backwards, spmm reduces, per-shard bodies)."""
+
+    def __init__(self, s_blk, chunk, in_shard=False):
+        self.s_blk, self.chunk, self.in_shard = s_blk, chunk, in_shard
+
+
+_XLA_ONLY = contextvars.ContextVar("allset_xla_only", default=False)
+
+
+@contextlib.contextmanager
+def xla_only():
+    """Disable the Pallas kernel for code TRACED inside this context.
+
+    Needed around vmapped tracing (vmapped statistical runs): pallas_call
+    has no workable TPU batching rule for ANY-memory block specs, and
+    tracer sniffing cannot catch it — scan/jit/custom_vjp all trace their
+    bodies UNBATCHED and batch the resulting jaxpr, so the pallas call is
+    staged before any BatchTracer is visible. The Trainer wraps vmapped
+    compilation in this context."""
+    tok = _XLA_ONLY.set(True)
+    try:
+        yield
+    finally:
+        _XLA_ONLY.reset(tok)
+
+
+def _under_batching(*arrays) -> bool:
+    """True when any array is a vmap BatchTracer (direct-vmap safety net;
+    see xla_only for the staged-trace case)."""
+    from jax._src.interpreters import batching
+
+    return any(isinstance(a, batching.BatchTracer) for a in arrays)
+
+
+def _kernel_ok(d, block_indptr, nrows: int, F: int, dtype, *arrays) -> bool:
     """Trace-time gate for the Pallas path (single-chip TPU, aligned).
 
-    ``d.in_shard`` (parallel/sharded._ShardView) lifts the single-device
-    gate: inside shard_map each shard runs its own Pallas call."""
+    ``d.in_shard`` (set via _KernelView by parallel/sharded) lifts the
+    single-device gate: inside shard_map each shard runs its own Pallas
+    call. Any vmap batching trace on the operands disables the kernel."""
     plat = jax.devices()[0].platform
     return (
         block_indptr is not None
@@ -70,6 +110,8 @@ def _kernel_ok(d, block_indptr, nrows: int, F: int, dtype) -> bool:
         and d.chunk % LANE == 0
         and d.s_blk > 0
         and dtype in (jnp.float32, jnp.bfloat16)
+        and not _XLA_ONLY.get()
+        and not _under_batching(*arrays)
     )
 
 
@@ -79,7 +121,7 @@ def _sorted_sum(msgs, ids, block_indptr, num_seg, num_seg_padded, d: Direction):
     Accumulates in float32, returns msgs.dtype [num_seg, F] (bf16 in ->
     bf16 out: halves the HBM write and downstream elementwise traffic)."""
     nnz_pad, F = msgs.shape
-    if _kernel_ok(d, block_indptr, nnz_pad, F, msgs.dtype):
+    if _kernel_ok(d, block_indptr, nnz_pad, F, msgs.dtype, msgs, ids):
         out = sorted_segment_sum_pallas(
             msgs,
             ids.reshape(-1, LANE),
@@ -148,11 +190,7 @@ def _gather_bwd(meta, res, g):
     num_src, num_src_padded, s_blk, chunk, nrows = meta
     src, perm, src_sorted, src_indptr = res
 
-    class _D:  # minimal static view for _kernel_ok / _sorted_sum
-        pass
-
-    d = _D()
-    d.s_blk, d.chunk = s_blk, chunk
+    d = _KernelView(s_blk, chunk)
     if perm is not None and nrows == num_src:
         gp = jnp.take(g, perm, axis=0)
         dx = _sorted_sum(gp, src_sorted, src_indptr, num_src, num_src_padded, d)
@@ -171,7 +209,15 @@ def dir_gather(x: Array, d: Direction) -> Array:
 
     Requires zero cotangent at padded entries — guaranteed by the
     norm/mask discipline (see Direction docstring).
+
+    Under a vmap batching trace the plain take (XLA autodiff) is used:
+    custom_vjp bodies are traced UNBATCHED and batched as jaxprs, so
+    tracer checks inside them never fire — the batched pallas_call
+    would then fail to lower (ANY-memory block specs have no batching
+    rule). Gate here, before entering the custom_vjp.
     """
+    if _under_batching(x):
+        return jnp.take(x, d.src, axis=0, mode="clip")
     meta = (d.num_src, d.num_src_padded, d.s_blk, d.chunk, x.shape[0])
     return _gather(meta, x, d.src, d.perm_srcsort, d.src_sorted, d.src_block_indptr)
 
@@ -235,23 +281,17 @@ def _spmm(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_src):
 def _spmm_dst_sum(meta, msgs, dst, b_dst):
     num_src, num_dst, num_src_padded, num_dst_padded, s_blk, chunk, _, _ = meta
 
-    class _D:
-        pass
-
-    dd = _D()
-    dd.s_blk, dd.chunk = s_blk, chunk
-    return _sorted_sum(msgs, dst, b_dst, num_dst, num_dst_padded, dd)
+    return _sorted_sum(
+        msgs, dst, b_dst, num_dst, num_dst_padded, _KernelView(s_blk, chunk)
+    )
 
 
 def _spmm_src_sum(meta, rows, src_sorted, b_src):
     num_src, num_dst, num_src_padded, num_dst_padded, s_blk, chunk, _, _ = meta
 
-    class _D:
-        pass
-
-    dd = _D()
-    dd.s_blk, dd.chunk = s_blk, chunk
-    return _sorted_sum(rows, src_sorted, b_src, num_src, num_src_padded, dd)
+    return _sorted_sum(
+        rows, src_sorted, b_src, num_src, num_src_padded, _KernelView(s_blk, chunk)
+    )
 
 
 def _spmm_fwd(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_src):
@@ -297,8 +337,14 @@ _spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 def _core_reduce(w: Array, d: Direction, norm, reduce: str, norm_grad: bool) -> Array:
     """Reduce over the entries this Direction covers ('add'/'max' only;
-    'mean' is composed by the caller). Fused when the aux allows."""
-    if reduce == "max" or w.shape[0] != d.num_src or not _spmm_fused_ok(d):
+    'mean' is composed by the caller). Fused when the aux allows; under
+    a vmap batching trace the composable path runs (see dir_gather)."""
+    if (
+        reduce == "max"
+        or w.shape[0] != d.num_src
+        or not _spmm_fused_ok(d)
+        or _under_batching(w, norm)
+    ):
         msgs = dir_gather(w, d)
         if norm is not None:
             msgs = msgs * norm[:, None].astype(msgs.dtype)
@@ -360,6 +406,11 @@ def dir_spmm(
             raise NotImplementedError(
                 "LearnMask (norm gradients) requires the single-chip path"
             )
+        if _under_batching(w):
+            raise NotImplementedError(
+                "sharded exchange under vmap (vmapped statistical runs); "
+                "use TrainConfig(vmap_runs=False) with a ShardedExchange"
+            )
         from allset_tpu.parallel.sharded import sharded_spmm
 
         out = sharded_spmm(w, d, use_norm=norm is not None)
@@ -388,7 +439,13 @@ def dir_spmm(
         # scale weights the self-loop entries AND zeroes the hole rows
         scale = d.sl_norm if norm is not None else d.sl_mask
         rows = rows * scale[:, None].astype(rows.dtype)
-        out = jnp.maximum(core, rows) if reduce == "max" else core + rows
+        if reduce == "max":
+            # holes (zeroed rows) must not clamp negative maxima to 0
+            out = jnp.where(
+                d.sl_mask[:, None] > 0, jnp.maximum(core, rows), core
+            )
+        else:
+            out = core + rows
         total = d.num_dst_total
     else:
         raise ValueError(f"unknown sl_mode {d.sl_mode!r}")

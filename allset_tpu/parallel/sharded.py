@@ -43,15 +43,13 @@ from allset_tpu.ops.pallas_segment import pad_for_kernel
 Array = jax.Array
 
 
-class _ShardView:
-    """Static view consumed by ops.exchange._kernel_ok inside shard_map:
+def _shard_view(s_blk, chunk):
+    """Static view for ops.exchange._kernel_ok inside shard_map:
     in_shard=True lifts the single-device gate (each shard runs its own
     Pallas call on its own chip)."""
+    from allset_tpu.ops.exchange import _KernelView
 
-    in_shard = True
-
-    def __init__(self, s_blk, chunk):
-        self.s_blk, self.chunk = s_blk, chunk
+    return _KernelView(s_blk, chunk, in_shard=True)
 
 
 @jax.tree_util.register_dataclass
@@ -240,7 +238,7 @@ def _local_fwd(meta, w, src, dst_local, norm, indptr):
         msgs = msgs * norm[0][:, None].astype(msgs.dtype)
     return _sorted_sum(
         msgs, dst_local[0], indptr[0], rows_per_shard, rows_per_shard,
-        _ShardView(s_blk, chunk),
+        _shard_view(s_blk, chunk),
     )
 
 
@@ -251,7 +249,7 @@ def _local_bwd(meta, g_shard, dst_srcsort_local, src_sorted, norm_ss, src_indptr
         rows = rows * norm_ss[0][:, None].astype(rows.dtype)
     part = _sorted_sum(
         rows, src_sorted[0], src_indptr[0], num_src, num_src_padded,
-        _ShardView(s_blk, chunk),
+        _shard_view(s_blk, chunk),
     )
     return jax.lax.psum(part, axis)
 

@@ -184,7 +184,7 @@ def prepare(
             num_features=num_features, num_classes=num_classes,
             all_num_layers=cfg.all_num_layers, dropout=cfg.dropout,
             mediators=cfg.hypergcn_mediators, fast=cfg.hypergcn_fast,
-            dname=cfg.dname,
+            dname=cfg.dname, dtype=cfg.dtype,
         )
         if cfg.hypergcn_fast:
             struct = build_hypergcn_laplacian(
@@ -193,7 +193,7 @@ def prepare(
             )
             batch = Batch(
                 x=jnp.asarray(data.x), y=jnp.asarray(data.y, jnp.int32),
-                inc=None, extras=hypergcn_extras(struct),
+                inc=struct, extras={},
             )
             model = HyperGCN(mcfg)
         else:
@@ -238,6 +238,7 @@ def prepare(
             num_features=num_features, num_classes=num_classes,
             all_num_layers=cfg.all_num_layers, mlp_hidden=cfg.mlp_hidden,
             dropout=cfg.dropout, normalization=cfg.normalization,
+            dtype=cfg.dtype,
         ))
 
     elif method in ("UniGCNII", "UniGNN"):

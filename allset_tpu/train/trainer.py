@@ -194,8 +194,14 @@ class Trainer:
 
         t0 = time.time()
         if cfg.vmap_runs:
-            run_fn = jax.jit(jax.vmap(self._run))
-            metrics, params = run_fn(rngs, masks)
+            from allset_tpu.ops.exchange import xla_only
+
+            # pallas_call doesn't batch under vmap (ANY-memory blockspecs);
+            # vmapped statistical runs take the XLA sorted paths — the
+            # kernel matters on large graphs, which train sequentially
+            with xla_only():
+                run_fn = jax.jit(jax.vmap(self._run))
+                metrics, params = run_fn(rngs, masks)
             metrics = np.asarray(metrics)  # [runs, epochs, 6]
         else:
             run_fn = jax.jit(self._run)

@@ -21,7 +21,7 @@ def _fence(out) -> None:
     PJRT plugins (axon); force a device->host transfer of one element of
     every output leaf instead."""
     for leaf in jax.tree_util.tree_leaves(out):
-        if hasattr(leaf, "ravel"):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
             np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
