@@ -76,6 +76,19 @@ def main():
     ))(v)
     assert bool(jnp.isfinite(loss)), "non-finite loss"
     print(f"[ok] SetGNN bf16 step, loss={float(loss):.3f}")
+
+    # 4) vmapped statistical runs at a 128-multiple width (regression:
+    # pallas_call cannot batch; the Trainer must trace under xla_only)
+    from allset_tpu.train import TrainConfig, Trainer
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+
+    cfg4 = ExperimentConfig(method="HCHA", epochs=3, runs=2,
+                            all_num_layers=2, mlp_hidden=256)
+    model4, batch4, tx4 = prepare(cfg4, hd)
+    Trainer(model4, batch4,
+            TrainConfig(epochs=3, runs=2, lr=0.01, wd=0.0, seed=0),
+            tx=tx4).fit()
+    print("[ok] vmapped zoo run at width 256 (pallas gated off)")
     print("TPU smoke: ALL OK")
 
 
