@@ -74,7 +74,7 @@ def main():
     opt_state = tx.init(params)
     train_mask = jnp.arange(batch.num_nodes) % 2 == 0
 
-    def one_step(carry, _):
+    def one_step(batch, carry, _):
         params, opt_state = carry
 
         def loss_fn(p):
@@ -86,22 +86,26 @@ def main():
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
+    # batch is an ARGUMENT, not a closure: closed-over device arrays get
+    # baked into the HLO as constants, and at large graph sizes the
+    # program blows past the axon tunnel's remote-compile request limit
     @jax.jit
-    def run_chunk(params, opt_state):
+    def run_chunk(params, opt_state, batch):
         (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), None, length=steps_per_call
+            lambda c, x: one_step(batch, c, x),
+            (params, opt_state), None, length=steps_per_call
         )
         return params, opt_state, losses[-1]
 
     # compile + warmup. block_until_ready is not a reliable fence through
     # the axon tunnel; force a device->host transfer of the loss instead.
-    params, opt_state, loss = run_chunk(params, opt_state)
+    params, opt_state, loss = run_chunk(params, opt_state, batch)
     float(np.asarray(jax.device_get(loss)))
 
     times = []
     for _ in range(timed_calls):
         t0 = time.perf_counter()
-        params, opt_state, loss = run_chunk(params, opt_state)
+        params, opt_state, loss = run_chunk(params, opt_state, batch)
         float(np.asarray(jax.device_get(loss)))
         times.append(time.perf_counter() - t0)
 
