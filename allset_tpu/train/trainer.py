@@ -116,31 +116,31 @@ class Trainer:
 
     # --- pure functions (jit/vmap targets) ---
 
-    def _init(self, rng: Array):
-        variables = self.model.init({"params": rng}, self.batch, False)
+    def _init(self, rng: Array, batch):
+        variables = self.model.init({"params": rng}, batch, False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         return params, batch_stats, self.tx.init(params)
 
-    def _apply(self, params, batch_stats, train: bool, rng: Optional[Array]):
+    def _apply(self, batch, params, batch_stats, train: bool, rng: Optional[Array]):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         rngs = {"dropout": rng} if rng is not None else None
         if train and batch_stats:
             out, updated = self.model.apply(
-                variables, self.batch, True, rngs=rngs, mutable=["batch_stats"]
+                variables, batch, True, rngs=rngs, mutable=["batch_stats"]
             )
             return out, updated["batch_stats"]
-        out = self.model.apply(variables, self.batch, train, rngs=rngs)
+        out = self.model.apply(variables, batch, train, rngs=rngs)
         return out, batch_stats
 
-    def _epoch(self, carry, rng, masks):
+    def _epoch(self, batch, carry, rng, masks):
         params, batch_stats, opt_state = carry
-        y = self.batch.y
+        y = batch.y
 
         def loss_fn(p):
-            logits, new_stats = self._apply(p, batch_stats, True, rng)
+            logits, new_stats = self._apply(batch, p, batch_stats, True, rng)
             return masked_nll(logits, y, masks["train"]), new_stats
 
         if self.cfg.remat:
@@ -149,7 +149,7 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
-        logits, _ = self._apply(params, new_stats, False, None)
+        logits, _ = self._apply(batch, params, new_stats, False, None)
         metrics = jnp.stack(
             [
                 masked_acc(logits, y, masks["train"]),
@@ -162,14 +162,18 @@ class Trainer:
         )
         return (params, new_stats, opt_state), metrics
 
-    def _run(self, rng: Array, masks):
-        """One full run: init + scan over epochs. Returns [epochs, 6]."""
+    def _run(self, rng: Array, masks, batch):
+        """One full run: init + scan over epochs. Returns [epochs, 6].
+
+        ``batch`` is threaded as an argument (NOT closed over): closure
+        device arrays bake into the HLO as constants, which blows the
+        axon tunnel's remote-compile request limit at large graph sizes."""
         init_rng, drop_rng = jax.random.split(rng)
-        carry = self._init(init_rng)
+        carry = self._init(init_rng, batch)
         epoch_rngs = jax.random.split(drop_rng, self.cfg.epochs)
 
         def step(c, r):
-            return self._epoch(c, r, masks)
+            return self._epoch(batch, c, r, masks)
 
         final, metrics = jax.lax.scan(step, carry, epoch_rngs)
         return metrics, final[0]
@@ -200,15 +204,18 @@ class Trainer:
             # vmapped statistical runs take the XLA sorted paths — the
             # kernel matters on large graphs, which train sequentially
             with xla_only():
-                run_fn = jax.jit(jax.vmap(self._run))
-                metrics, params = run_fn(rngs, masks)
+                run_fn = jax.jit(jax.vmap(self._run, in_axes=(0, 0, None)))
+                metrics, params = run_fn(rngs, masks, self.batch)
             metrics = np.asarray(metrics)  # [runs, epochs, 6]
         else:
             run_fn = jax.jit(self._run)
             outs = []
             params = None
             for r in range(cfg.runs):
-                m, params = run_fn(rngs[r], jax.tree_util.tree_map(lambda a: a[r], masks))
+                m, params = run_fn(
+                    rngs[r], jax.tree_util.tree_map(lambda a: a[r], masks),
+                    self.batch,
+                )
                 outs.append(np.asarray(m))
             metrics = np.stack(outs)
         jax.block_until_ready(jax.tree_util.tree_leaves(params)[0] if params is not None else metrics)
