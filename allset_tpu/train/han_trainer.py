@@ -55,8 +55,10 @@ def train_han(model, batch: Batch, num_real_nodes: int, cfg: HANTrainConfig,
     host_rng = np.random.default_rng(cfg.seed)
     y_host = np.asarray(batch.y)
 
+    # batch threaded as an argument (closure device arrays bake into the
+    # HLO as constants — remote-compile size limit at large graphs)
     @jax.jit
-    def step(params, opt_state, masks, rng):
+    def step(params, opt_state, masks, rng, batch):
         def loss_fn(p):
             logits = model.apply({"params": p}, batch, True, rngs={"dropout": rng})
             return masked_nll(logits, jnp.maximum(batch.y, 0), masks["train"])
@@ -71,7 +73,7 @@ def train_han(model, batch: Batch, num_real_nodes: int, cfg: HANTrainConfig,
         return params, opt_state, loss, val_loss, val_acc
 
     @jax.jit
-    def predict(params):
+    def predict(params, batch):
         return jnp.argmax(model.apply({"params": params}, batch, False), axis=-1)
 
     accs, micros, macros, times = [], [], [], []
@@ -92,13 +94,13 @@ def train_han(model, batch: Batch, num_real_nodes: int, cfg: HANTrainConfig,
         for epoch in range(cfg.num_epochs):
             rng, drop = jax.random.split(rng)
             params, opt_state, loss, val_loss, val_acc = step(
-                params, opt_state, masks, drop
+                params, opt_state, masks, drop, batch
             )
             if stopper.step(float(val_loss), float(val_acc), params):
                 break
 
         best = stopper.restore()
-        pred = np.asarray(predict(best))
+        pred = np.asarray(predict(best, batch))
         test_idx = np.asarray(split["test"])
         yt = y_host[test_idx]
         yp = pred[test_idx]
@@ -152,7 +154,7 @@ def train_han_minibatch(model, x_full, y, sampler, cfg: HANSampleConfig,
     host_rng = np.random.default_rng(cfg.seed)
 
     @jax.jit
-    def step(params, opt_state, seeds, blocks, valid, rng):
+    def step(params, opt_state, seeds, blocks, valid, rng, x_full):
         def loss_fn(p):
             logits = model.apply(
                 {"params": p}, x_full, seeds, blocks, True, rngs={"dropout": rng}
@@ -168,7 +170,7 @@ def train_han_minibatch(model, x_full, y, sampler, cfg: HANSampleConfig,
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def infer(params, seeds, blocks):
+    def infer(params, seeds, blocks, x_full):
         return jnp.argmax(model.apply({"params": params}, x_full, seeds, blocks, False), -1)
 
     def blocks_to_arrays(blocks):
@@ -183,7 +185,7 @@ def train_han_minibatch(model, x_full, y, sampler, cfg: HANSampleConfig,
         loss_sum, cnt = 0.0, 0
         for seeds, valid in sampler.batches(nids, cfg.batch_size, shuffle=False):
             blocks = blocks_to_arrays(sampler.sample(seeds, num_neighbors=k))
-            pred = np.asarray(infer(params, jnp.asarray(seeds), blocks))
+            pred = np.asarray(infer(params, jnp.asarray(seeds), blocks, x_full))
             preds.append(pred[valid])
             labels.append(y_host[seeds[valid]])
         preds = np.concatenate(preds)
@@ -211,7 +213,7 @@ def train_han_minibatch(model, x_full, y, sampler, cfg: HANSampleConfig,
                 blocks = blocks_to_arrays(sampler.sample(seeds))
                 params, opt_state, loss = step(
                     params, opt_state, jnp.asarray(seeds), blocks,
-                    jnp.asarray(valid), drop,
+                    jnp.asarray(valid), drop, x_full,
                 )
             val_acc, _, _ = evaluate_ids(params, split["valid"], 2 * cfg.num_neighbors)
             if stopper.step(-val_acc, val_acc, params):
