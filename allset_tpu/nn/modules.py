@@ -56,6 +56,23 @@ class TorchDense(nn.Module):
         return y
 
 
+class _DenseParams(nn.Module):
+    """Declare TorchDense-compatible params (same scope/names/inits)
+    WITHOUT computing the dense product — for layers whose output is
+    only ever consumed through a low-rank projection (PMA's lin_K)."""
+
+    features: int
+    fan_in: int
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self):
+        kinit = self.kernel_init if self.kernel_init is not None else torch_linear_kernel()
+        kernel = self.param("kernel", kinit, (self.fan_in, self.features))
+        bias = self.param("bias", torch_linear_bias(self.fan_in), (self.features,))
+        return kernel, bias
+
+
 class NormLayer(nn.Module):
     """'bn' | 'ln' | 'None' normalization (reference MLP's per-layer
     normalizations, ``src/layers.py:506-560``). Statistics always compute
@@ -162,7 +179,12 @@ class PMA(nn.Module):
         HC = H * C
         num_segments = d.num_dst
 
-        x_K = TorchDense(HC, kernel_init=glorot_uniform(), dtype=self.dtype, name="lin_K")(x)
+        # lin_K's output is consumed ONLY through the per-head seed
+        # projection (alpha = (x_K * att_r).sum over C), which is linear:
+        # fold it into the kernel — alpha = x @ (W_K . P) + b_K . P with
+        # P the [HC, H] block-diagonal seed expansion. This removes the
+        # whole [rows, HC] x_K GEMM and its HBM round trip, exactly.
+        WK, bK = _DenseParams(HC, x.shape[-1], glorot_uniform(), name="lin_K")()
         x_V = TorchDense(HC, kernel_init=glorot_uniform(), dtype=self.dtype, name="lin_V")(x)
 
         att_r = self.param("att_r", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
@@ -181,7 +203,10 @@ class PMA(nn.Module):
             == jax.lax.broadcasted_iota(jnp.int32, (HC, H), 1)
         )
         proj = jnp.where(blk, att_flat[:, None], 0.0)
-        alpha = (x_K @ proj.astype(x_K.dtype)).astype(jnp.float32)  # [N, H]
+        Wa = WK @ proj  # [in_dim, H] (f32 param math; tiny)
+        ba = bK @ proj  # [H]
+        xc = x.astype(self.dtype) if self.dtype is not None else x
+        alpha = (xc @ Wa.astype(xc.dtype)).astype(jnp.float32) + ba[None, :]
         alpha = nn.leaky_relu(alpha, self.negative_slope)
 
         if self.softmax_mode == "segment":
