@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--plot", default=None, metavar="PATH",
                    help="save train/valid/test accuracy curves (the "
                         "reference Logger.plot_result, src/train.py:152-167)")
+    p.add_argument("--save_params", default=None, metavar="PATH",
+                   help="save final-epoch parameters (flax msgpack; "
+                        "vmapped runs carry a leading runs axis)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run "
                         "(TensorBoard/Perfetto; see benchmarks/trace_step.py "
@@ -164,6 +167,11 @@ def main(argv=None) -> int:
     print(res.summary())
     if args.plot:
         print(f"Saved accuracy curves to {res.plot(args.plot)}")
+    if args.save_params and res.params is not None:
+        from allset_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_params, res.params)
+        print(f"Saved parameters to {args.save_params}")
 
     # CSV append in the reference's format (src/train.py:503-525)
     os.makedirs(args.res_root, exist_ok=True)

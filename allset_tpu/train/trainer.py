@@ -221,7 +221,11 @@ class Trainer:
         jax.block_until_ready(jax.tree_util.tree_leaves(params)[0] if params is not None else metrics)
         wall = time.time() - t0
 
-        return Results(metrics=metrics, wall_time=wall, num_params=count_params(params, cfg.vmap_runs))
+        return Results(
+            metrics=metrics, wall_time=wall,
+            num_params=count_params(params, cfg.vmap_runs),
+            params=params, params_batched=cfg.vmap_runs,
+        )
 
 
 def count_params(params, batched: bool) -> int:
@@ -242,6 +246,11 @@ class Results:
     metrics: np.ndarray  # [runs, epochs, 6] = train/val/test acc, 3 losses
     wall_time: float
     num_params: int
+    # final-epoch parameters (vmapped: leading runs axis). The reference
+    # main pipeline never saves model state (SURVEY.md §5.4); this is the
+    # net-new checkpoint hook (utils/checkpoint.save_checkpoint).
+    params: Any = None
+    params_batched: bool = False
 
     def best_by_valid(self) -> Dict[str, Any]:
         acc = self.metrics[:, :, :3] * 100.0
