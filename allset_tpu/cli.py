@@ -73,7 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference Logger.plot_result, src/train.py:152-167)")
     p.add_argument("--save_params", default=None, metavar="PATH",
                    help="save final-epoch parameters (flax msgpack; "
-                        "vmapped runs carry a leading runs axis)")
+                        "vmapped runs carry a leading runs axis, "
+                        "--no_vmap_runs saves the LAST run only)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run "
                         "(TensorBoard/Perfetto; see benchmarks/trace_step.py "

@@ -32,6 +32,17 @@ LN_EPS = 1e-5  # torch LayerNorm default
 BN_MOMENTUM = 0.9  # flax momentum == 1 - torch momentum (torch default 0.1)
 
 
+def _declare_dense_params(mod: nn.Module, fan_in: int, features: int,
+                          kernel_init: Optional[Callable]):
+    """The single source of truth for TorchDense's param scheme (names,
+    shapes, torch nn.Linear default inits) — shared with _DenseParams so
+    declare-only layers (PMA's folded lin_K) can never drift from it."""
+    kinit = kernel_init if kernel_init is not None else torch_linear_kernel()
+    kernel = mod.param("kernel", kinit, (fan_in, features))
+    bias = mod.param("bias", torch_linear_bias(fan_in), (features,))
+    return kernel, bias
+
+
 class TorchDense(nn.Module):
     """Dense layer with torch ``nn.Linear`` default init:
     weight and bias ~ U(±1/sqrt(fan_in))."""
@@ -44,22 +55,27 @@ class TorchDense(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         fan_in = x.shape[-1]
-        kinit = self.kernel_init if self.kernel_init is not None else torch_linear_kernel()
-        kernel = self.param("kernel", kinit, (fan_in, self.features))
+        if self.use_bias:
+            kernel, bias = _declare_dense_params(
+                self, fan_in, self.features, self.kernel_init
+            )
+        else:
+            kinit = self.kernel_init if self.kernel_init is not None else torch_linear_kernel()
+            kernel = self.param("kernel", kinit, (fan_in, self.features))
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
         y = x @ kernel
         if self.use_bias:
-            bias = self.param("bias", torch_linear_bias(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)
         return y
 
 
 class _DenseParams(nn.Module):
-    """Declare TorchDense-compatible params (same scope/names/inits)
-    WITHOUT computing the dense product — for layers whose output is
-    only ever consumed through a low-rank projection (PMA's lin_K)."""
+    """Declare TorchDense-compatible params (same scope/names/inits via
+    the shared _declare_dense_params helper) WITHOUT computing the dense
+    product — for layers whose output is only ever consumed through a
+    low-rank projection (PMA's folded lin_K)."""
 
     features: int
     fan_in: int
@@ -67,10 +83,7 @@ class _DenseParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        kinit = self.kernel_init if self.kernel_init is not None else torch_linear_kernel()
-        kernel = self.param("kernel", kinit, (self.fan_in, self.features))
-        bias = self.param("bias", torch_linear_bias(self.fan_in), (self.features,))
-        return kernel, bias
+        return _declare_dense_params(self, self.fan_in, self.features, self.kernel_init)
 
 
 class NormLayer(nn.Module):

@@ -154,7 +154,7 @@ def train_han_minibatch(model, x_full, y, sampler, cfg: HANSampleConfig,
     host_rng = np.random.default_rng(cfg.seed)
 
     @jax.jit
-    def step(params, opt_state, seeds, blocks, valid, rng, x_full):
+    def step(params, opt_state, seeds, blocks, valid, rng, x_full, y):
         def loss_fn(p):
             logits = model.apply(
                 {"params": p}, x_full, seeds, blocks, True, rngs={"dropout": rng}
@@ -213,7 +213,7 @@ def train_han_minibatch(model, x_full, y, sampler, cfg: HANSampleConfig,
                 blocks = blocks_to_arrays(sampler.sample(seeds))
                 params, opt_state, loss = step(
                     params, opt_state, jnp.asarray(seeds), blocks,
-                    jnp.asarray(valid), drop, x_full,
+                    jnp.asarray(valid), drop, x_full, y,
                 )
             val_acc, _, _ = evaluate_ids(params, split["valid"], 2 * cfg.num_neighbors)
             if stopper.step(-val_acc, val_acc, params):

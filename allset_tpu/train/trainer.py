@@ -246,9 +246,11 @@ class Results:
     metrics: np.ndarray  # [runs, epochs, 6] = train/val/test acc, 3 losses
     wall_time: float
     num_params: int
-    # final-epoch parameters (vmapped: leading runs axis). The reference
-    # main pipeline never saves model state (SURVEY.md §5.4); this is the
-    # net-new checkpoint hook (utils/checkpoint.save_checkpoint).
+    # final-epoch parameters: vmapped runs carry a leading runs axis
+    # (params_batched=True); sequential runs keep ONLY the last run's
+    # params. The reference main pipeline never saves model state
+    # (SURVEY.md §5.4); this is the net-new checkpoint hook
+    # (utils/checkpoint.save_checkpoint).
     params: Any = None
     params_batched: bool = False
 

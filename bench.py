@@ -72,13 +72,13 @@ def main():
     params = variables["params"]
     tx = torch_adam(1e-3, 0.0)
     opt_state = tx.init(params)
-    train_mask = jnp.arange(batch.num_nodes) % 2 == 0
-
     def one_step(batch, carry, _):
         params, opt_state = carry
 
         def loss_fn(p):
             logits = model.apply({"params": p}, batch, False)
+            # mask built in-graph from an iota: no closure constant
+            train_mask = jnp.arange(batch.num_nodes) % 2 == 0
             return masked_nll(logits, batch.y, train_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
