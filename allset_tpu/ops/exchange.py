@@ -28,15 +28,13 @@ and the permutation trick are single-chip; GSPMD handles the rest).
 
 from __future__ import annotations
 
-import contextlib
-import contextvars
 import functools
 
 import jax
 import jax.numpy as jnp
 
 from allset_tpu.graph.incidence import Direction
-from allset_tpu.ops.pallas_segment import LANE, sorted_segment_sum_pallas
+from allset_tpu.ops.fold import LANE, fold_gather, fold_segsum
 from allset_tpu.ops.segment import segment_max as _xla_segment_max
 
 Array = jax.Array
@@ -54,53 +52,29 @@ def kernel_active(d, F: int) -> bool:
         and plat in ("tpu", "axon")
         and (jax.device_count() == 1 or sharded)
         and d.s_blk > 0
-        and not _XLA_ONLY.get()
     )
 
 
 class _KernelView:
     """Minimal static view for _kernel_ok when no Direction is at hand
-    (gather backwards, spmm reduces, per-shard bodies)."""
+    (gather backwards, spmm reduces, per-shard bodies). ``platform``
+    overrides the process-default platform gate (shard_map bodies traced
+    for a mesh whose devices differ from the default backend)."""
 
-    def __init__(self, s_blk, chunk, in_shard=False):
-        self.s_blk, self.chunk, self.in_shard = s_blk, chunk, in_shard
-
-
-_XLA_ONLY = contextvars.ContextVar("allset_xla_only", default=False)
-
-
-@contextlib.contextmanager
-def xla_only():
-    """Disable the Pallas kernel for code TRACED inside this context.
-
-    Needed around vmapped tracing (vmapped statistical runs): pallas_call
-    has no workable TPU batching rule for ANY-memory block specs, and
-    tracer sniffing cannot catch it — scan/jit/custom_vjp all trace their
-    bodies UNBATCHED and batch the resulting jaxpr, so the pallas call is
-    staged before any BatchTracer is visible. The Trainer wraps vmapped
-    compilation in this context."""
-    tok = _XLA_ONLY.set(True)
-    try:
-        yield
-    finally:
-        _XLA_ONLY.reset(tok)
+    def __init__(self, s_blk, chunk, in_shard=False, platform=None):
+        self.s_blk, self.chunk = s_blk, chunk
+        self.in_shard, self.platform = in_shard, platform
 
 
-def _under_batching(*arrays) -> bool:
-    """True when any array is a vmap BatchTracer (direct-vmap safety net;
-    see xla_only for the staged-trace case)."""
-    from jax._src.interpreters import batching
-
-    return any(isinstance(a, batching.BatchTracer) for a in arrays)
-
-
-def _kernel_ok(d, block_indptr, nrows: int, F: int, dtype, *arrays) -> bool:
+def _kernel_ok(d, block_indptr, nrows: int, F: int, dtype) -> bool:
     """Trace-time gate for the Pallas path (single-chip TPU, aligned).
 
     ``d.in_shard`` (set via _KernelView by parallel/sharded) lifts the
     single-device gate: inside shard_map each shard runs its own Pallas
-    call. Any vmap batching trace on the operands disables the kernel."""
-    plat = jax.devices()[0].platform
+    call. Under vmap the gate is NOT consulted again — the staged
+    primitive's batching rule folds the mapped axis into the width and
+    re-checks only the width/VMEM constraints (ops/fold.py)."""
+    plat = getattr(d, "platform", None) or jax.devices()[0].platform
     return (
         block_indptr is not None
         and plat in ("tpu", "axon")
@@ -110,34 +84,45 @@ def _kernel_ok(d, block_indptr, nrows: int, F: int, dtype, *arrays) -> bool:
         and d.chunk % LANE == 0
         and d.s_blk > 0
         and dtype in (jnp.float32, jnp.bfloat16)
-        and not _XLA_ONLY.get()
-        and not _under_batching(*arrays)
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _segsum_ad(meta, msgs, ids, indptr):
+    num_seg, num_seg_padded, s_blk, chunk, pallas = meta
+    return fold_segsum(
+        msgs, ids, indptr, num_seg, num_seg_padded, s_blk, chunk, pallas
+    )
+
+
+def _segsum_ad_fwd(meta, msgs, ids, indptr):
+    return _segsum_ad(meta, msgs, ids, indptr), (ids, jnp.zeros((0,), msgs.dtype))
+
+
+def _segsum_ad_bwd(meta, res, g):
+    # d msgs = g[ids]; padded entries read a garbage row, but their message
+    # contribution is zeroed upstream (norm/mask discipline), so their
+    # cotangent is never consumed.
+    ids, tok = res
+    return (fold_gather(g, ids).astype(tok.dtype), None, None)
+
+
+_segsum_ad.defvjp(_segsum_ad_fwd, _segsum_ad_bwd)
+
+
 def _sorted_sum(msgs, ids, block_indptr, num_seg, num_seg_padded, d: Direction):
-    """Sorted segment-sum: Pallas on single-chip TPU, hinted XLA otherwise.
+    """Sorted segment-sum: Pallas on single-chip TPU, hinted XLA otherwise
+    — via the runs-folding primitive, so vmapped statistical runs ride ONE
+    kernel pass (ops/fold.py).
 
     Accumulates in float32, returns msgs.dtype [num_seg, F] (bf16 in ->
     bf16 out: halves the HBM write and downstream elementwise traffic)."""
     nnz_pad, F = msgs.shape
-    if _kernel_ok(d, block_indptr, nnz_pad, F, msgs.dtype, msgs, ids):
-        out = sorted_segment_sum_pallas(
-            msgs,
-            ids.reshape(-1, LANE),
-            block_indptr,
-            num_seg_padded,
-            d.s_blk,
-            d.chunk,
-            False,
-        )
-        return out[:num_seg]
-    return jax.ops.segment_sum(
-        msgs.astype(jnp.float32),
-        ids,
-        num_segments=num_seg,
-        indices_are_sorted=True,
-    ).astype(msgs.dtype)
+    pallas = _kernel_ok(d, block_indptr, nnz_pad, F, msgs.dtype)
+    meta = (num_seg, num_seg_padded, d.s_blk, d.chunk, pallas)
+    if block_indptr is None:
+        block_indptr = jnp.zeros((1,), jnp.int32)
+    return _segsum_ad(meta, msgs, ids, block_indptr)
 
 
 def dir_reduce(msgs: Array, d: Direction, reduce: str = "add") -> Array:
@@ -178,11 +163,11 @@ def dir_reduce(msgs: Array, d: Direction, reduce: str = "add") -> Array:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather(meta, x, src, perm, src_sorted, src_indptr):
-    return jnp.take(x, src, axis=0, mode="clip")
+    return fold_gather(x, src)
 
 
 def _gather_fwd(meta, x, src, perm, src_sorted, src_indptr):
-    out = jnp.take(x, src, axis=0, mode="clip")
+    out = fold_gather(x, src)
     return out, (src, perm, src_sorted, src_indptr)
 
 
@@ -192,7 +177,7 @@ def _gather_bwd(meta, res, g):
 
     d = _KernelView(s_blk, chunk)
     if perm is not None and nrows == num_src:
-        gp = jnp.take(g, perm, axis=0)
+        gp = fold_gather(g, perm)
         dx = _sorted_sum(gp, src_sorted, src_indptr, num_src, num_src_padded, d)
     else:
         dx = jax.ops.segment_sum(g.astype(jnp.float32), src, num_segments=nrows)
@@ -208,16 +193,10 @@ def dir_gather(x: Array, d: Direction) -> Array:
     reduce) instead of XLA's unsorted scatter-add.
 
     Requires zero cotangent at padded entries — guaranteed by the
-    norm/mask discipline (see Direction docstring).
-
-    Under a vmap batching trace the plain take (XLA autodiff) is used:
-    custom_vjp bodies are traced UNBATCHED and batched as jaxprs, so
-    tracer checks inside them never fire — the batched pallas_call
-    would then fail to lower (ANY-memory block specs have no batching
-    rule). Gate here, before entering the custom_vjp.
+    norm/mask discipline (see Direction docstring). Under vmap the
+    gather and the backward reduce both FOLD the mapped axis into the
+    row width — one hardware pass for all runs (ops/fold.py).
     """
-    if _under_batching(x):
-        return jnp.take(x, d.src, axis=0, mode="clip")
     meta = (d.num_src, d.num_src_padded, d.s_blk, d.chunk, x.shape[0])
     return _gather(meta, x, d.src, d.perm_srcsort, d.src_sorted, d.src_block_indptr)
 
@@ -267,14 +246,15 @@ def _spmm_fused_ok(d: Direction) -> bool:
 
 def _spmm_impl(meta, w, norm, src, dst, b_dst):
     has_norm = meta[6]
-    msgs = jnp.take(w, src, axis=0, mode="clip")
+    msgs = fold_gather(w, src)
     if has_norm:
         msgs = msgs * norm[:, None].astype(msgs.dtype)
     return _spmm_dst_sum(meta, msgs, dst, b_dst)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _spmm(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_src):
+def _spmm(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_src,
+          mask):
     return _spmm_impl(meta, w, norm, src, dst, b_dst)
 
 
@@ -294,7 +274,8 @@ def _spmm_src_sum(meta, rows, src_sorted, b_src):
     )
 
 
-def _spmm_fwd(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_src):
+def _spmm_fwd(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst,
+              b_src, mask):
     out = _spmm_impl(meta, w, norm, src, dst, b_dst)
     norm_grad = meta[7]
     res = (
@@ -306,6 +287,7 @@ def _spmm_fwd(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_s
         src_sorted,
         perm,
         b_src,
+        mask if norm_grad else None,
         jnp.zeros((0,), w.dtype),
     )
     return out, res
@@ -313,23 +295,26 @@ def _spmm_fwd(meta, w, norm, src, dst, dst_srcsort, src_sorted, perm, b_dst, b_s
 
 def _spmm_bwd(meta, res, g):
     has_norm, norm_grad = meta[6], meta[7]
-    w, norm, src, dst, dst_srcsort, src_sorted, perm, b_src, dtok = res
+    w, norm, src, dst, dst_srcsort, src_sorted, perm, b_src, mask, dtok = res
 
     gb = g.astype(dtok.dtype)  # bf16 mode: halves traffic, crosses the
     # VMEM-table cliff for the [num_dst, F] row gather below
-    rows = jnp.take(gb, dst_srcsort, axis=0, mode="clip")
+    rows = fold_gather(gb, dst_srcsort)
     if has_norm:
-        norm_ss = jnp.take(norm, perm, axis=0)
+        norm_ss = fold_gather(norm, perm)
         rows = rows * norm_ss[:, None].astype(rows.dtype)
     dw = _spmm_src_sum(meta, rows, src_sorted, b_src).astype(dtok.dtype)
 
     dnorm = None
     if norm_grad:
-        # SDDMM: dnorm_i = g[dst_i] . w[src_i]  (execution order)
-        gd = jnp.take(gb, dst, axis=0, mode="clip").astype(jnp.float32)
-        ws = jnp.take(w, src, axis=0, mode="clip").astype(jnp.float32)
-        dnorm = jnp.sum(gd * ws, axis=-1).astype(norm.dtype)
-    return (dw, dnorm, None, None, None, None, None, None, None)
+        # SDDMM: dnorm_i = g[dst_i] . w[src_i]  (execution order); padded
+        # entries clip-gather garbage rows — mask them so dnorm is exactly
+        # zero at padding regardless of downstream norm factors
+        gd = fold_gather(gb, dst).astype(jnp.float32)
+        ws = fold_gather(w, src).astype(jnp.float32)
+        dnorm = jnp.sum(gd * ws, axis=-1)
+        dnorm = (dnorm * mask.astype(jnp.float32)).astype(norm.dtype)
+    return (dw, dnorm, None, None, None, None, None, None, None, None)
 
 
 _spmm.defvjp(_spmm_fwd, _spmm_bwd)
@@ -337,13 +322,11 @@ _spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 def _core_reduce(w: Array, d: Direction, norm, reduce: str, norm_grad: bool) -> Array:
     """Reduce over the entries this Direction covers ('add'/'max' only;
-    'mean' is composed by the caller). Fused when the aux allows; under
-    a vmap batching trace the composable path runs (see dir_gather)."""
+    'mean' is composed by the caller). Fused when the aux allows."""
     if (
         reduce == "max"
         or w.shape[0] != d.num_src
         or not _spmm_fused_ok(d)
-        or _under_batching(w, norm)
     ):
         msgs = dir_gather(w, d)
         if norm is not None:
@@ -375,6 +358,7 @@ def _core_reduce(w: Array, d: Direction, norm, reduce: str, norm_grad: bool) -> 
         d.perm_srcsort,
         d.block_indptr,
         d.src_block_indptr,
+        d.mask,
     )
 
 
@@ -385,13 +369,19 @@ def dir_spmm(
     reduce: str = "add",
     norm_grad: bool = False,
 ) -> Array:
-    """Fused gather->scale->segment-reduce over a Direction, float32 out.
+    """Fused gather->scale->segment-reduce over a Direction. The result
+    dtype follows ``w`` on the sorted path (bf16 in -> bf16 out; float32
+    accumulation internally); unsorted fallbacks return float32.
 
     The backward never permutes [nnz, F] data (see module docstring).
     ``norm_grad`` must be True when ``norm`` requires gradients (LearnMask);
     otherwise norm's cotangent is declared zero (stop_gradient semantics).
     'mean' divides the fused sum by the static per-destination counts.
     'max' and aux-less Directions fall back to the composable path.
+
+    Under vmap (vmapped statistical runs) every gather and reduce FOLDS
+    the mapped axis into the row width — one Pallas/gather pass serves
+    all runs (ops/fold.py).
 
     Self-loop split Directions (``d.sl_mode``): the sparse core covers only
     the real edges; singleton self-loop edges contribute dense row copies —
@@ -406,11 +396,8 @@ def dir_spmm(
             raise NotImplementedError(
                 "LearnMask (norm gradients) requires the single-chip path"
             )
-        if _under_batching(w):
-            raise NotImplementedError(
-                "sharded exchange under vmap (vmapped statistical runs); "
-                "use TrainConfig(vmap_runs=False) with a ShardedExchange"
-            )
+        # vmapped runs over a ShardedExchange are gated structurally in
+        # Trainer.fit (shard_map has no runs-folding batching rule)
         from allset_tpu.parallel.sharded import sharded_spmm
 
         out = sharded_spmm(w, d, use_norm=norm is not None)

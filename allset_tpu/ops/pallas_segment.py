@@ -147,11 +147,24 @@ def _sorted_segment_sum_fwd(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # scratch demand: f32 accumulator + double-buffered chunks + out block.
+    # The default scoped-vmem limit is 16 MiB; wide folded widths (vmapped
+    # runs, ops/fold.py) legitimately need more — v5e carries 128 MiB.
+    # Mosaic's actual stack allocation measures ~2.2x the raw buffer sum
+    # (tile padding + pipelined output double-buffering): budget 2.5x.
+    per = 2 if msgs.dtype == jnp.bfloat16 else 4
+    need = (
+        s_blk * F * 4 + 2 * chunk * F * per + s_blk * F * per + 2 * chunk * 4
+    )
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(need * 5 // 2, 16 * 2**20), 110 * 2**20)
+    )
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((m_pad, F), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=params,
     )(block_indptr, msgs, dst2d)
 
 

@@ -43,13 +43,16 @@ from allset_tpu.ops.pallas_segment import pad_for_kernel
 Array = jax.Array
 
 
-def _shard_view(s_blk, chunk):
+def _shard_view(s_blk, chunk, mesh):
     """Static view for ops.exchange._kernel_ok inside shard_map:
     in_shard=True lifts the single-device gate (each shard runs its own
-    Pallas call on its own chip)."""
+    Pallas call on its own chip); the platform comes from the MESH's
+    devices, not the process default (a CPU mesh can be traced while the
+    default backend is a TPU — dryrun_multichip under axon)."""
     from allset_tpu.ops.exchange import _KernelView
 
-    return _KernelView(s_blk, chunk, in_shard=True)
+    platform = mesh.devices.flat[0].platform
+    return _KernelView(s_blk, chunk, in_shard=True, platform=platform)
 
 
 @jax.tree_util.register_dataclass
@@ -232,24 +235,24 @@ class ShardedExchange:
 
 
 def _local_fwd(meta, w, src, dst_local, norm, indptr):
-    rows_per_shard, _, s_blk, chunk, has_norm, _, _ = meta
+    rows_per_shard, _, s_blk, chunk, has_norm, (_, _, mesh), _ = meta
     msgs = jnp.take(w, src[0], axis=0, mode="clip")
     if has_norm:
         msgs = msgs * norm[0][:, None].astype(msgs.dtype)
     return _sorted_sum(
         msgs, dst_local[0], indptr[0], rows_per_shard, rows_per_shard,
-        _shard_view(s_blk, chunk),
+        _shard_view(s_blk, chunk, mesh),
     )
 
 
 def _local_bwd(meta, g_shard, dst_srcsort_local, src_sorted, norm_ss, src_indptr):
-    _, (num_src, num_src_padded), s_blk, chunk, has_norm, _, axis = meta
+    _, (num_src, num_src_padded), s_blk, chunk, has_norm, (_, _, mesh), axis = meta
     rows = jnp.take(g_shard, dst_srcsort_local[0], axis=0, mode="clip")
     if has_norm:
         rows = rows * norm_ss[0][:, None].astype(rows.dtype)
     part = _sorted_sum(
         rows, src_sorted[0], src_indptr[0], num_src, num_src_padded,
-        _shard_view(s_blk, chunk),
+        _shard_view(s_blk, chunk, mesh),
     )
     return jax.lax.psum(part, axis)
 

@@ -37,7 +37,6 @@ from allset_tpu.models.hypergcn import (
     HyperGCN,
     HyperGCNConfig,
     build_hypergcn_laplacian,
-    hypergcn_extras,
 )
 from allset_tpu.models.legacy_hgnn import MLPConfig, MLPModel
 from allset_tpu.models.setgnn import SetGNN, SetGNNConfig

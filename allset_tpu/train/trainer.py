@@ -100,15 +100,13 @@ class Trainer:
 
     def __init__(self, model, batch: Batch, cfg: TrainConfig,
                  tx: Optional[optax.GradientTransformation] = None):
-        if (
-            cfg.vmap_runs
-            and hasattr(model, "cfg")
-            and getattr(model.cfg, "use_pallas", False)
-        ):
-            # pallas_call's ANY-memory-space block specs don't lower under
-            # vmap; vmapped statistical runs take the XLA sorted path (the
-            # kernel matters on large graphs, which train sequentially)
-            model = type(model)(dataclasses.replace(model.cfg, use_pallas=False))
+        if cfg.vmap_runs and getattr(batch, "shex", None) is not None:
+            # shard_map has no runs-folding batching rule; the explicit
+            # sharded exchange trains runs sequentially
+            raise NotImplementedError(
+                "vmapped statistical runs over a ShardedExchange; use "
+                "TrainConfig(vmap_runs=False) with multi-chip sharding"
+            )
         self.model = model
         self.batch = batch
         self.cfg = cfg
@@ -136,46 +134,76 @@ class Trainer:
         return out, batch_stats
 
     def _epoch(self, batch, carry, rng, masks):
+        """One training update (full-batch fwd+bwd+Adam). Returns train loss."""
         params, batch_stats, opt_state = carry
-        y = batch.y
 
         def loss_fn(p):
             logits, new_stats = self._apply(batch, p, batch_stats, True, rng)
-            return masked_nll(logits, y, masks["train"]), new_stats
+            return masked_nll(logits, batch.y, masks["train"]), new_stats
 
         if self.cfg.remat:
             loss_fn = jax.checkpoint(loss_fn)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        return (params, new_stats, opt_state), loss
 
-        logits, _ = self._apply(batch, params, new_stats, False, None)
-        metrics = jnp.stack(
+    def _eval(self, batch, params, batch_stats, masks, train_loss):
+        """Full evaluation forward (reference evaluate(), train.py:170-193)."""
+        y = batch.y
+        logits, _ = self._apply(batch, params, batch_stats, False, None)
+        return jnp.stack(
             [
                 masked_acc(logits, y, masks["train"]),
                 masked_acc(logits, y, masks["valid"]),
                 masked_acc(logits, y, masks["test"]),
-                loss,
+                train_loss,
                 masked_nll(logits, y, masks["valid"]),
                 masked_nll(logits, y, masks["test"]),
             ]
         )
-        return (params, new_stats, opt_state), metrics
 
     def _run(self, rng: Array, masks, batch):
         """One full run: init + scan over epochs. Returns [epochs, 6].
 
         ``batch`` is threaded as an argument (NOT closed over): closure
         device arrays bake into the HLO as constants, which blows the
-        axon tunnel's remote-compile request limit at large graph sizes."""
+        axon tunnel's remote-compile request limit at large graph sizes.
+
+        ``eval_every > 1`` skips the evaluation forward on off epochs
+        (lax.cond; skipped rows repeat the last evaluated metrics, so
+        best-valid-epoch selection still works on the [epochs, 6] grid);
+        the default 1 evaluates every epoch like the reference
+        (train.py:486) with no cond overhead."""
         init_rng, drop_rng = jax.random.split(rng)
         carry = self._init(init_rng, batch)
         epoch_rngs = jax.random.split(drop_rng, self.cfg.epochs)
+        k = max(1, self.cfg.eval_every)
+        epochs = self.cfg.epochs
 
-        def step(c, r):
-            return self._epoch(batch, c, r, masks)
+        if k == 1:
+            def step(c, r):
+                c, loss = self._epoch(batch, c, r, masks)
+                return c, self._eval(batch, c[0], c[1], masks, loss)
 
-        final, metrics = jax.lax.scan(step, carry, epoch_rngs)
+            final, metrics = jax.lax.scan(step, carry, epoch_rngs)
+            return metrics, final[0]
+
+        def step(c, inp):
+            r, ep = inp
+            inner, prev = c
+            inner, loss = self._epoch(batch, inner, r, masks)
+            m = jax.lax.cond(
+                jnp.logical_or((ep + 1) % k == 0, ep == epochs - 1),
+                lambda: self._eval(batch, inner[0], inner[1], masks, loss),
+                lambda: prev,
+            )
+            return (inner, m), m
+
+        (final, _), metrics = jax.lax.scan(
+            step, (carry, jnp.zeros((6,), jnp.float32)),
+            (epoch_rngs, jnp.arange(epochs)),
+        )
         return metrics, final[0]
 
     # --- host orchestration ---
@@ -198,14 +226,11 @@ class Trainer:
 
         t0 = time.time()
         if cfg.vmap_runs:
-            from allset_tpu.ops.exchange import xla_only
-
-            # pallas_call doesn't batch under vmap (ANY-memory blockspecs);
-            # vmapped statistical runs take the XLA sorted paths — the
-            # kernel matters on large graphs, which train sequentially
-            with xla_only():
-                run_fn = jax.jit(jax.vmap(self._run, in_axes=(0, 0, None)))
-                metrics, params = run_fn(rngs, masks, self.batch)
+            # the runs axis FOLDS into the feature axis of every sparse
+            # gather/reduce (ops/fold.py batching rules): the vmapped
+            # protocol rides the same Pallas kernel as a single run
+            run_fn = jax.jit(jax.vmap(self._run, in_axes=(0, 0, None)))
+            metrics, params = run_fn(rngs, masks, self.batch)
             metrics = np.asarray(metrics)  # [runs, epochs, 6]
         else:
             run_fn = jax.jit(self._run)

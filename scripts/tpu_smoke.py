@@ -77,8 +77,8 @@ def main():
     assert bool(jnp.isfinite(loss)), "non-finite loss"
     print(f"[ok] SetGNN bf16 step, loss={float(loss):.3f}")
 
-    # 4) vmapped statistical runs at a 128-multiple width (regression:
-    # pallas_call cannot batch; the Trainer must trace under xla_only)
+    # 4) vmapped statistical runs at a 128-multiple width (the runs axis
+    # folds into the kernel width via ops/fold.py batching rules)
     from allset_tpu.train import TrainConfig, Trainer
     from allset_tpu.train.factory import ExperimentConfig, prepare
 
@@ -88,7 +88,7 @@ def main():
     Trainer(model4, batch4,
             TrainConfig(epochs=3, runs=2, lr=0.01, wd=0.0, seed=0),
             tx=tx4).fit()
-    print("[ok] vmapped zoo run at width 256 (pallas gated off)")
+    print("[ok] vmapped zoo run at width 256 (runs folded into the kernel)")
     print("TPU smoke: ALL OK")
 
 
