@@ -40,13 +40,18 @@ class Batch:
 
     @classmethod
     def from_hyperdata(
-        cls, data: HyperData, bucket: int = 256, with_incidence: bool = True
+        cls, data: HyperData, bucket: int = 256, with_incidence: bool = True,
+        bucket_rows: int = 131072,
     ) -> "Batch":
         extras = {k: jnp.asarray(v) for k, v in data.extras.items()}
         return cls(
             x=jnp.asarray(data.x, dtype=jnp.float32),
             y=jnp.asarray(data.y, dtype=jnp.int32),
-            inc=data.to_incidence(bucket=bucket) if with_incidence else None,
+            inc=(
+                data.to_incidence(bucket=bucket, bucket_rows=bucket_rows)
+                if with_incidence
+                else None
+            ),
             extras=extras,
         )
 

@@ -105,6 +105,12 @@ class Incidence:
     sl_mask: Optional[Array] = None  # f32[num_nodes]
     sl_norm_full: Optional[Array] = None  # f32[num_nodes]
     num_sl_edges: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # VMEM-cliff bucketing (ops/bucketed.py): built when a gather-table
+    # side exceeds bucket_rows (~the 110 MB VMEM window at width 384).
+    # by_node: entries grouped by node-id range, reduced by edge (serves
+    # the V2E forward AND the E2V backward); by_edge: the transpose.
+    bucket_by_node: Optional[tuple] = None  # tuple[BucketSide, ...]
+    bucket_by_edge: Optional[tuple] = None
 
     @property
     def nnz_padded(self) -> int:
@@ -123,6 +129,7 @@ class Incidence:
         kernel_s_blk: int = 256,
         kernel_chunk: int = 512,
         num_sl_edges: int = 0,
+        bucket_rows: int = 131072,
     ) -> "Incidence":
         """Build from host-side numpy COO (unpadded, 0-based id spaces).
 
@@ -175,6 +182,7 @@ class Incidence:
                         num_nodes=num_nodes, num_edges=boundary,
                         bucket=bucket, sort_by_edge=True,
                         kernel_s_blk=kernel_s_blk, kernel_chunk=kernel_chunk,
+                        bucket_rows=bucket_rows,
                     ),
                     sl_node=jnp.asarray(tail_n.astype(np.int32)),
                     sl_mask=jnp.asarray(mask),
@@ -252,6 +260,26 @@ class Incidence:
                 ),
             )
 
+        bucket_fields = dict(bucket_by_node=None, bucket_by_edge=None)
+        if (
+            with_kernel
+            and bucket_rows > 0
+            and nnz
+            and (num_nodes > bucket_rows or num_edges > bucket_rows)
+        ):
+            # gather tables will exceed the VMEM cliff: build the bucketed
+            # exchange aux (ops/bucketed.py) over the VALID entries
+            from allset_tpu.ops.bucketed import build_bucket_side
+
+            bucket_fields["bucket_by_node"] = build_bucket_side(
+                node[:nnz], edge[:nnz], int(num_nodes), int(num_edges),
+                bucket_rows, kernel_s_blk, kernel_chunk,
+            )
+            bucket_fields["bucket_by_edge"] = build_bucket_side(
+                edge[:nnz], node[:nnz], int(num_edges), int(num_nodes),
+                bucket_rows, kernel_s_blk, kernel_chunk,
+            )
+
         return cls(
             node=jnp.asarray(node),
             edge=jnp.asarray(edge),
@@ -266,6 +294,7 @@ class Incidence:
             kernel_chunk=kernel_chunk if with_kernel else 0,
             **node_aux,
             **sl_fields,
+            **bucket_fields,
         )
 
     def with_norm(self, norm: Array) -> "Incidence":
@@ -274,10 +303,20 @@ class Incidence:
 
     # --- directed views (see Direction below) ---
 
+    def _bucketed_dir(self, fwd_by_node: bool):
+        if self.bucket_by_node is None:
+            return None
+        from allset_tpu.ops.bucketed import BucketedDir
+
+        if fwd_by_node:
+            return BucketedDir(fwd=self.bucket_by_node, bwd=self.bucket_by_edge)
+        return BucketedDir(fwd=self.bucket_by_edge, bwd=self.bucket_by_node)
+
     def v2e(self, norm: Optional[Array] = None) -> "Direction":
         """V->E direction in the canonical (edge-sorted) entry order:
         gather node rows, reduce by hyperedge (sorted)."""
         return Direction(
+            bucketed=self._bucketed_dir(fwd_by_node=True),
             src=self.node,
             dst=self.edge,
             norm=self.norm if norm is None else norm,
@@ -324,6 +363,8 @@ class Incidence:
             )
         n = self.norm if norm is None else norm
         return Direction(
+            bucketed=self._bucketed_dir(fwd_by_node=False),
+            canon_perm=self.inv_node_perm,
             src=self.edge_by_node,
             dst=self.node_sorted,
             norm=jnp.take(n, self.node_perm, axis=0),
@@ -452,6 +493,13 @@ class Direction:
     num_dst_total: int = dataclasses.field(default=0, metadata=dict(static=True))
     sl_mask: Optional[Array] = None  # f32[num_nodes]
     sl_norm: Optional[Array] = None  # f32[num_nodes] (zero at holes)
+    # VMEM-cliff bucketed aux (ops/bucketed.BucketedDir): when set,
+    # dir_spmm's 'add' core routes through table-sliced gathers.
+    # canon_perm maps THIS direction's execution order back to canonical
+    # entry order (traced norms are canonicalized before bucket dispatch);
+    # None = execution order IS canonical (V2E).
+    bucketed: Optional[object] = None
+    canon_perm: Optional[Array] = None
 
     @classmethod
     def plain(

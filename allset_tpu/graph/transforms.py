@@ -69,7 +69,7 @@ class HyperData:
             extras=dict(self.extras),
         )
 
-    def to_incidence(self, bucket: int = 256) -> Incidence:
+    def to_incidence(self, bucket: int = 256, bucket_rows: int = 131072) -> Incidence:
         return Incidence.from_arrays(
             self.node,
             self.edge,
@@ -78,6 +78,7 @@ class HyperData:
             num_edges=self.num_hyperedges,
             bucket=bucket,
             num_sl_edges=self.num_sl_edges,
+            bucket_rows=bucket_rows,
         )
 
 

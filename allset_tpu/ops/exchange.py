@@ -322,7 +322,23 @@ _spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 def _core_reduce(w: Array, d: Direction, norm, reduce: str, norm_grad: bool) -> Array:
     """Reduce over the entries this Direction covers ('add'/'max' only;
-    'mean' is composed by the caller). Fused when the aux allows."""
+    'mean' is composed by the caller). Fused when the aux allows.
+
+    Directions carrying VMEM-cliff bucket aux route through the
+    table-sliced path (ops/bucketed.py) — except under norm gradients
+    (LearnMask), whose SDDMM needs the unbucketed fused spmm."""
+    if (
+        reduce == "add"
+        and w.shape[0] == d.num_src
+        and getattr(d, "bucketed", None) is not None
+        and not (norm is not None and norm_grad)
+    ):
+        from allset_tpu.ops.bucketed import bucketed_spmm
+
+        n = jax.lax.stop_gradient(norm) if norm is not None else None
+        if n is not None and d.canon_perm is not None:
+            n = fold_gather(n, d.canon_perm)  # execution -> canonical order
+        return bucketed_spmm(w, d.bucketed, n)
     if (
         reduce == "max"
         or w.shape[0] != d.num_src
