@@ -132,12 +132,17 @@ class SetGNN(nn.Module):
         # segment reduce (fwd and gather-bwd) runs sorted (ops/exchange).
         if (
             batch.shex is not None
-            and not c.learn_mask
-            and c.aggregate in ("add", "mean")
+            # LearnMask's traced canonical norm needs an UNSPLIT exchange
+            # (ShardedExchange.build(split=False)) so self-loop entries
+            # are covered by the canonical entry indexing
+            and (not c.learn_mask or batch.shex.v2e.sl_mode == "none")
             and c.normalization != "bn"  # N-slot hole rows vs batch stats
         ):
             # explicit shard_map edge-partitioned exchange (multi-chip)
             d_v2e, d_e2v = batch.shex.v2e, batch.shex.e2v
+            if c.learn_mask:
+                d_v2e = dataclasses.replace(d_v2e, norm_canon=norm)
+                d_e2v = dataclasses.replace(d_e2v, norm_canon=norm)
         elif c.use_pallas and inc.node_perm is not None and jax.device_count() == 1:
             if inc.real is not None and not c.learn_mask and c.normalization != "bn":
                 # self-loop suffix split: sparse core over real edges only;

@@ -408,19 +408,20 @@ def dir_spmm(
     edge-partitioned path (norms baked into the shard arrays).
     """
     if getattr(d, "mesh", None) is not None:  # ShardedDirection
-        if norm_grad:
-            raise NotImplementedError(
-                "LearnMask (norm gradients) requires the single-chip path"
-            )
         # vmapped runs over a ShardedExchange are gated structurally in
         # Trainer.fit (shard_map has no runs-folding batching rule)
         from allset_tpu.parallel.sharded import sharded_spmm
 
-        out = sharded_spmm(w, d, use_norm=norm is not None)
+        traced = getattr(d, "norm_canon", None)  # LearnMask: canonical order
+        out = sharded_spmm(
+            w, d,
+            use_norm=norm is not None and traced is None,
+            reduce="max" if reduce == "max" else "add",
+            norm=traced,
+            norm_grad=norm_grad and traced is not None,
+        )
         if reduce == "mean":
             out = out / jnp.maximum(d.dst_count, 1.0)[:, None].astype(out.dtype)
-        elif reduce == "max":
-            raise NotImplementedError("sharded max reduce")
         return out
 
     core_reduce = "max" if reduce == "max" else "add"

@@ -70,6 +70,14 @@ class ShardedDirection:
     dst_srcsort_local: Array  # i32[D, nnz_pad] dst_local in src-sorted order
     norm_srcsort: Array  # f32[D, nnz_pad]
     src_block_indptr: Array  # i32[D, num_src_padded // s_blk + 1]
+    # canonical entry positions (index into the [nnz_pad] canonical-order
+    # entry arrays of the source incidence) for TRACED per-entry norms
+    # (LearnMask): shard exec order and shard src-sorted order. Padded
+    # shard entries carry nnz_pad_canon (clip-gathers the zero-norm
+    # canonical padding row; dropped by the dnorm scatter).
+    perm_canon: Array  # i32[D, nnz_pad]
+    perm_canon_srcsort: Array  # i32[D, nnz_pad]
+    nnz_pad_canon: int = dataclasses.field(metadata=dict(static=True))
     sl_mask: Optional[Array]  # f32[num_nodes] (replicated)
     sl_norm: Optional[Array]  # f32[num_nodes]
     dst_count: Optional[Array]  # f32[num_dst_total] full degrees ('mean')
@@ -84,14 +92,21 @@ class ShardedDirection:
     num_dst_total: int = dataclasses.field(metadata=dict(static=True))
     mesh: Mesh = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
+    # optional TRACED per-entry norm in canonical order (set via
+    # dataclasses.replace by the model, e.g. SetGNN LearnMask); when
+    # present it overrides the baked norms in dir_spmm dispatch
+    norm_canon: Optional[Array] = None
 
     @property
     def num_shards(self) -> int:
         return self.src.shape[0]
 
 
-def _build_one(dst, src, norm, num_src, num_dst, D, s_blk, chunk):
-    """Host-side partition of one direction (entries dst-sorted)."""
+def _build_one(dst, src, norm, canon_pos, nnz_pad_canon, num_src, num_dst,
+               D, s_blk, chunk):
+    """Host-side partition of one direction (entries dst-sorted).
+    ``canon_pos[i]`` is entry i's position in the source incidence's
+    canonical entry order (for traced per-entry norms)."""
     nnz = len(dst)
     rows = -(-num_dst // (D * s_blk)) * s_blk  # rows per shard, s_blk-aligned
     num_dst_padded = rows * D
@@ -110,6 +125,8 @@ def _build_one(dst, src, norm, num_src, num_dst, D, s_blk, chunk):
         dst_srcsort_local=np.full((D, nnz_pad), rows, np.int32),
         norm_srcsort=np.zeros((D, nnz_pad), np.float32),
         src_block_indptr=np.zeros((D, num_src_padded // s_blk + 1), np.int32),
+        perm_canon=np.full((D, nnz_pad), nnz_pad_canon, np.int32),
+        perm_canon_srcsort=np.full((D, nnz_pad), nnz_pad_canon, np.int32),
     )
     for d in range(D):
         lo, hi = int(cuts[d]), int(cuts[d + 1])
@@ -117,9 +134,11 @@ def _build_one(dst, src, norm, num_src, num_dst, D, s_blk, chunk):
         sdst = dst[lo:hi] - d * rows
         ssrc = src[lo:hi]
         snorm = norm[lo:hi]
+        spos = canon_pos[lo:hi]
         S["src"][d, :k] = ssrc
         S["dst_local"][d, :k] = sdst
         S["norm"][d, :k] = snorm
+        S["perm_canon"][d, :k] = spos
         S["block_indptr"][d] = np.searchsorted(
             sdst, np.arange(0, rows + s_blk, s_blk)
         )
@@ -127,6 +146,7 @@ def _build_one(dst, src, norm, num_src, num_dst, D, s_blk, chunk):
         S["src_sorted"][d, :k] = ssrc[order]
         S["dst_srcsort_local"][d, :k] = sdst[order]
         S["norm_srcsort"][d, :k] = snorm[order]
+        S["perm_canon_srcsort"][d, :k] = spos[order]
         S["src_block_indptr"][d] = np.searchsorted(
             ssrc[order], np.arange(0, num_src_padded + s_blk, s_blk)
         )
@@ -142,22 +162,29 @@ class ShardedExchange:
     e2v: ShardedDirection
 
     @classmethod
-    def build(cls, inc: Incidence, mesh: Mesh, axis: str = "edge") -> "ShardedExchange":
+    def build(cls, inc: Incidence, mesh: Mesh, axis: str = "edge",
+              split: bool | None = None) -> "ShardedExchange":
         """Partition ``inc`` (its real sub-incidence when the self-loop
-        split is available) over the mesh's ``axis``."""
+        split is available) over the mesh's ``axis``. ``split=False``
+        forces the FULL incidence — required for traced per-entry norms
+        (LearnMask), whose canonical entry indexing covers self-loop
+        entries too."""
         D = int(mesh.shape[axis])
-        core = inc.real if inc.real is not None else inc
-        split = inc.real is not None
+        if split is None:
+            split = inc.real is not None
+        core = inc.real if split else inc
         s_blk = core.kernel_s_blk or 256
         chunk = core.kernel_chunk or 512
 
         n = np.asarray(core.node[: core.nnz])
         e = np.asarray(core.edge[: core.nnz])
         w = np.asarray(core.norm[: core.nnz])
+        canon = np.arange(core.nnz, dtype=np.int32)
+        npadc = core.nnz_padded
 
         # V2E: entries already edge-sorted
         Sv, rows_v, mpad, npad_src = _build_one(
-            e, n, w, core.num_nodes, core.num_edges, D, s_blk, chunk
+            e, n, w, canon, npadc, core.num_nodes, core.num_edges, D, s_blk, chunk
         )
         ecount = np.bincount(e, minlength=core.num_edges).astype(np.float32)
         ncount = np.bincount(n, minlength=core.num_nodes).astype(np.float32)
@@ -169,6 +196,7 @@ class ShardedExchange:
 
         dv = ShardedDirection(
             **{k: jnp.asarray(v) for k, v in Sv.items()},
+            nnz_pad_canon=npadc,
             sl_mask=inc.sl_mask if split else None,
             sl_norm=inc.sl_norm_full if split else None,
             dst_count=jnp.asarray(ecount_total),
@@ -188,11 +216,12 @@ class ShardedExchange:
         # E2V: node-sorted entry order
         order = native.stable_argsort(n, core.num_nodes + 1)
         Se, rows_e, npad_dst, mpad_src = _build_one(
-            n[order], e[order], w[order],
+            n[order], e[order], w[order], canon[order], npadc,
             core.num_edges, core.num_nodes, D, s_blk, chunk,
         )
         de = ShardedDirection(
             **{k: jnp.asarray(v) for k, v in Se.items()},
+            nnz_pad_canon=npadc,
             sl_mask=inc.sl_mask if split else None,
             sl_norm=inc.sl_norm_full if split else None,
             dst_count=jnp.asarray(ncount_total),
@@ -221,6 +250,7 @@ class ShardedExchange:
             for f in (
                 "src", "dst_local", "norm", "block_indptr", "src_sorted",
                 "dst_srcsort_local", "norm_srcsort", "src_block_indptr",
+                "perm_canon", "perm_canon_srcsort",
             ):
                 kw[f] = jax.device_put(getattr(d, f), sh)
             for f in ("sl_mask", "sl_norm", "dst_count"):
@@ -232,117 +262,201 @@ class ShardedExchange:
 
 
 # --- the sharded spmm ------------------------------------------------------
+#
+# meta = (rows_per_shard, (num_src, num_src_padded), s_blk, chunk,
+#         norm_mode, (num_dst, num_dst_padded, mesh), axis, norm_grad)
+# norm_mode: 0 = unweighted (PMA), 1 = baked static norms,
+#            2 = traced norms (canonical entry order; LearnMask-capable)
 
 
-def _local_fwd(meta, w, src, dst_local, norm, indptr):
-    rows_per_shard, _, s_blk, chunk, has_norm, (_, _, mesh), _ = meta
+def _traced_norm(norm_c, perm):
+    """Per-entry traced weights for one shard: padded shard entries index
+    the canonical padding row (clip), whose norm must be 0 upstream."""
+    return jnp.take(norm_c, jnp.minimum(perm[0], norm_c.shape[0] - 1), axis=0)
+
+
+def _local_fwd(meta, w, norm_c, src, dst_local, norm, indptr, perm):
+    rows_per_shard, _, s_blk, chunk, norm_mode, (_, _, mesh), _, _ = meta
     msgs = jnp.take(w, src[0], axis=0, mode="clip")
-    if has_norm:
-        msgs = msgs * norm[0][:, None].astype(msgs.dtype)
+    if norm_mode:
+        n = norm[0] if norm_mode == 1 else _traced_norm(norm_c, perm)
+        msgs = msgs * n[:, None].astype(msgs.dtype)
     return _sorted_sum(
         msgs, dst_local[0], indptr[0], rows_per_shard, rows_per_shard,
         _shard_view(s_blk, chunk, mesh),
     )
 
 
-def _local_bwd(meta, g_shard, dst_srcsort_local, src_sorted, norm_ss, src_indptr):
-    _, (num_src, num_src_padded), s_blk, chunk, has_norm, (_, _, mesh), axis = meta
+def _local_bwd(meta, g_shard, norm_c, w, dst_srcsort_local, src_sorted,
+               norm_ss, src_indptr, perm_ss, src, dst_local, perm):
+    (_, (num_src, num_src_padded), s_blk, chunk, norm_mode,
+     (_, _, mesh), axis, norm_grad) = meta
     rows = jnp.take(g_shard, dst_srcsort_local[0], axis=0, mode="clip")
-    if has_norm:
-        rows = rows * norm_ss[0][:, None].astype(rows.dtype)
+    if norm_mode:
+        nss = norm_ss[0] if norm_mode == 1 else _traced_norm(norm_c, perm_ss)
+        rows = rows * nss[:, None].astype(rows.dtype)
     part = _sorted_sum(
         rows, src_sorted[0], src_indptr[0], num_src, num_src_padded,
         _shard_view(s_blk, chunk, mesh),
     )
-    return jax.lax.psum(part, axis)
+    dw = jax.lax.psum(part, axis)
+    if not norm_grad:
+        return dw, jnp.zeros((1,), jnp.float32)
+    # SDDMM in shard exec order: dnorm_i = g[dst_i] . w[src_i], scattered
+    # back to canonical entry positions (padded shard entries carry an
+    # out-of-range index and drop), then combined across shards
+    gd = jnp.take(g_shard, dst_local[0], axis=0, mode="clip").astype(jnp.float32)
+    ws = jnp.take(w, src[0], axis=0, mode="clip").astype(jnp.float32)
+    dn_local = jnp.sum(gd * ws, axis=-1)
+    dnorm = jnp.zeros((norm_c.shape[0],), jnp.float32).at[perm[0]].add(
+        dn_local, mode="drop"
+    )
+    return dw, jax.lax.psum(dnorm, axis)
 
 
-# meta = (rows_per_shard, (num_src, num_src_padded), s_blk, chunk,
-#         has_norm, (num_dst, num_dst_padded, mesh, axis)... flattened below)
-
-
-def _sharded_core_impl(meta, w, src, dst_local, norm, indptr, *_):
-    rows_per_shard, _, s_blk, chunk, has_norm, (num_dst, num_dst_padded, mesh), axis = meta
+def _sharded_core_impl(meta, w, norm_c, sd):
+    _, _, _, _, _, (num_dst, num_dst_padded, mesh), axis, _ = meta
     fwd = jax.shard_map(
         functools.partial(_local_fwd, meta),
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
         check_vma=False,
     )
-    out = fwd(w, src, dst_local, norm, indptr)
+    out = fwd(w, norm_c, sd.src, sd.dst_local, sd.norm, sd.block_indptr,
+              sd.perm_canon)
     return out[:num_dst]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _sharded_core(meta, w, src, dst_local, norm, indptr,
-                  dst_srcsort_local, src_sorted, norm_ss, src_indptr):
-    return _sharded_core_impl(meta, w, src, dst_local, norm, indptr)
+def _sharded_core(meta, w, norm_c, sd):
+    return _sharded_core_impl(meta, w, norm_c, sd)
 
 
-def _sharded_core_fwd(meta, w, src, dst_local, norm, indptr,
-                      dst_srcsort_local, src_sorted, norm_ss, src_indptr):
-    out = _sharded_core_impl(meta, w, src, dst_local, norm, indptr)
-    res = (dst_srcsort_local, src_sorted, norm_ss, src_indptr,
-           jnp.zeros((0,), w.dtype))
+def _sharded_core_fwd(meta, w, norm_c, sd):
+    out = _sharded_core_impl(meta, w, norm_c, sd)
+    norm_grad = meta[7]
+    res = (w if norm_grad else None, norm_c, sd, jnp.zeros((0,), w.dtype))
     return out, res
 
 
 def _sharded_core_bwd(meta, res, g):
-    dst_srcsort_local, src_sorted, norm_ss, src_indptr, dtok = res
-    _, _, _, _, _, (num_dst, num_dst_padded, mesh), axis = meta
+    w, norm_c, sd, dtok = res
+    (_, (num_src, _), _, _, _,
+     (num_dst, num_dst_padded, mesh), axis, norm_grad) = meta
     gb = g.astype(dtok.dtype)
     pad = num_dst_padded - num_dst
     if pad:
         gb = jnp.concatenate(
             [gb, jnp.zeros((pad, gb.shape[1]), gb.dtype)], axis=0
         )
+    if w is None:
+        w = jnp.zeros((num_src, gb.shape[1]), dtok.dtype)
     bwd = jax.shard_map(
         functools.partial(_local_bwd, meta),
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(),
+        in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
         check_vma=False,
     )
-    dw = bwd(gb, dst_srcsort_local, src_sorted, norm_ss, src_indptr)
-    return (dw.astype(dtok.dtype), None, None, None, None,
-            None, None, None, None)
+    dw, dnorm = bwd(gb, norm_c, w, sd.dst_srcsort_local, sd.src_sorted,
+                    sd.norm_srcsort, sd.src_block_indptr,
+                    sd.perm_canon_srcsort, sd.src, sd.dst_local,
+                    sd.perm_canon)
+    return (dw.astype(dtok.dtype), dnorm if norm_grad else None, None)
 
 
 _sharded_core.defvjp(_sharded_core_fwd, _sharded_core_bwd)
 
 
+# --- sharded max ------------------------------------------------------------
+
+
+def _local_max(meta_m, w, norm_c, src, dst_local, norm, perm):
+    rows_per_shard, norm_mode = meta_m
+    msgs = jnp.take(w, src[0], axis=0, mode="clip")
+    if norm_mode:
+        n = norm[0] if norm_mode == 1 else _traced_norm(norm_c, perm)
+        msgs = msgs * n[:, None].astype(msgs.dtype)
+    out = jax.ops.segment_max(
+        msgs.astype(jnp.float32), dst_local[0], num_segments=rows_per_shard,
+        indices_are_sorted=True,
+    )
+    # torch_scatter semantics: empty segments -> 0 (ops/segment.py)
+    return jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+
+
+def sharded_segment_max(w, sd, norm_mode, norm_c):
+    """Per-destination max, edge-partitioned. Shards own disjoint dst row
+    blocks, so the forward needs no collective; the backward (argmax
+    routing) is served by differentiating this shard_map directly — the
+    only cross-shard cotangent is the replicated ``w``, whose transpose
+    shard_map psums itself (check_vma on)."""
+    f = jax.shard_map(
+        functools.partial(_local_max, (sd.rows_per_shard, norm_mode)),
+        mesh=sd.mesh,
+        in_specs=(P(), P(), P(sd.axis), P(sd.axis), P(sd.axis), P(sd.axis)),
+        out_specs=P(sd.axis),
+        check_vma=True,
+    )
+    out = f(w, norm_c, sd.src, sd.dst_local, sd.norm, sd.perm_canon)
+    return out[: sd.num_dst]
+
+
 def sharded_spmm(
-    w: Array, sd: ShardedDirection, use_norm: bool = True, reduce: str = "add"
+    w: Array,
+    sd: ShardedDirection,
+    use_norm: bool = True,
+    reduce: str = "add",
+    norm: Optional[Array] = None,
+    norm_grad: bool = False,
 ) -> Array:
     """out[m] = sum_{i: dst_i = m} norm_i * w[src_i], edge-partitioned.
 
-    ``use_norm=False`` is the PMA path (unweighted aggregation, matching
-    ops.exchange.dir_spmm's norm=None). Norms are static data baked into
-    the shard arrays; LearnMask requires the single-chip path. 'mean'
-    is composed by the caller (divide by full counts)."""
-    meta = (
-        sd.rows_per_shard,
-        (sd.num_src, sd.num_src_padded),
-        sd.s_blk,
-        sd.chunk,
-        use_norm,
-        (sd.num_dst, sd.num_dst_padded, sd.mesh),
-        sd.axis,
+    Entry weights: ``norm=None, use_norm=False`` is the PMA path
+    (unweighted, matching ops.exchange.dir_spmm's norm=None);
+    ``use_norm=True`` without ``norm`` uses the static norms baked into
+    the shard arrays; an explicit ``norm`` array (CANONICAL entry order
+    of the partitioned incidence — build the exchange with split=False
+    so self-loop entries are covered) is gathered per shard, and
+    ``norm_grad=True`` adds the SDDMM pass whose gradient (LearnMask)
+    comes back psum'd in canonical order. 'mean' is composed by the
+    caller (divide by full counts); 'max' runs per-shard segment-max
+    (disjoint dst blocks: no collective)."""
+    norm_mode = 2 if norm is not None else (1 if use_norm else 0)
+    norm_c = (
+        norm if norm is not None
+        else jnp.zeros((max(sd.nnz_pad_canon, 1),), jnp.float32)
     )
+    if norm_mode == 2 and not norm_grad:
+        norm_c = jax.lax.stop_gradient(norm_c)
     w_core = w[: sd.num_src] if sd.sl_mode == "add" else w
-    core = _sharded_core(
-        meta, w_core, sd.src, sd.dst_local, sd.norm, sd.block_indptr,
-        sd.dst_srcsort_local, sd.src_sorted, sd.norm_srcsort,
-        sd.src_block_indptr,
-    )
+    if reduce == "max":
+        core = sharded_segment_max(w_core, sd, norm_mode, norm_c).astype(w.dtype)
+    else:
+        meta = (
+            sd.rows_per_shard,
+            (sd.num_src, sd.num_src_padded),
+            sd.s_blk,
+            sd.chunk,
+            norm_mode,
+            (sd.num_dst, sd.num_dst_padded, sd.mesh),
+            sd.axis,
+            norm_grad,
+        )
+        core = _sharded_core(meta, w_core, norm_c, sd)
     if sd.sl_mode == "append":
         rows = w.astype(core.dtype)
-        if use_norm:
+        if norm_mode:
             rows = rows * sd.sl_norm[:, None].astype(core.dtype)
         return jnp.concatenate([core, rows], axis=0)
     if sd.sl_mode == "add":
         rows = w[sd.num_src :].astype(core.dtype)
-        scale = sd.sl_norm if use_norm else sd.sl_mask
-        return core + rows * scale[:, None].astype(core.dtype)
+        scale = sd.sl_norm if norm_mode else sd.sl_mask
+        rows = rows * scale[:, None].astype(core.dtype)
+        if reduce == "max":
+            return jnp.where(sd.sl_mask[:, None] > 0,
+                             jnp.maximum(core, rows), core)
+        return core + rows
     return core

@@ -16,7 +16,11 @@ def main():
     import optax
     from allset_tpu.train.trainer import masked_nll, torch_adam
 
-    model, batch = bench.build(1 << 17, 1 << 16, 12, 256, 8)
+    model, batch = bench.build(
+        int(os.environ.get("BENCH_NODES", 1 << 17)),
+        int(os.environ.get("BENCH_EDGES", 1 << 16)),
+        12, 256, 8,
+    )
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
     params = variables["params"]
     tx = torch_adam(1e-3, 0.0)

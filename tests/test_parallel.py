@@ -236,3 +236,99 @@ def test_setgnn_sharded_exchange_matches_plain(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
+
+
+def test_sharded_learnmask_grads_match(rng):
+    """SetGNN LearnMask over the shard_map exchange (split=False): loss
+    and ALL gradients — including the per-entry importance parameter via
+    the sharded SDDMM + psum — match single-device (VERDICT r1 #7)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from allset_tpu.graph.batch import Batch
+    from allset_tpu.graph.transforms import (
+        HyperData, add_self_loops, coalesce, norm_construction,
+    )
+    from allset_tpu.models import SetGNN, SetGNNConfig
+    from allset_tpu.parallel.sharded import ShardedExchange
+
+    n, m, nnz = 48, 20, 220
+    node = rng.integers(0, n, size=nnz)
+    edge = rng.integers(0, m, size=nnz)
+    node, edge = coalesce(node, edge)
+    hd = HyperData(
+        x=rng.normal(size=(n, 16)).astype(np.float32),
+        y=rng.integers(0, 4, size=n), node=node, edge=edge,
+        num_nodes=n, num_hyperedges=m,
+    )
+    hd = norm_construction(add_self_loops(hd), "all_one")
+    batch = Batch.from_hyperdata(hd, bucket=128)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(batch.inc, mesh, split=False).shard()
+    assert shex.v2e.sl_mode == "none"
+    batch_sh = dataclasses.replace(batch, shex=shex)
+
+    cfg = SetGNNConfig.all_deep_sets(
+        num_features=16, num_classes=4, all_num_layers=1,
+        mlp_hidden=32, classifier_hidden=32, classifier_num_layers=1,
+        dropout=0.0, learn_mask=True,
+    )
+    model = SetGNN(cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+    assert "importance" in v["params"]
+
+    def loss(v, b):
+        return jnp.sum(model.apply(v, b, False) ** 2)
+
+    l_sh, g_sh = jax.value_and_grad(loss)(v, batch_sh)
+    l_pl, g_pl = jax.value_and_grad(loss)(v, batch)
+    np.testing.assert_allclose(float(l_sh), float(l_pl), rtol=1e-4)
+    gi_sh = np.asarray(g_sh["params"]["importance"])
+    gi_pl = np.asarray(g_pl["params"]["importance"])
+    assert np.abs(gi_pl).max() > 0  # the SDDMM actually fires
+    np.testing.assert_allclose(gi_sh, gi_pl, rtol=1e-3, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_sh), jax.tree_util.tree_leaves(g_pl)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
+@pytest.mark.parametrize("use_norm", [True, False])
+def test_sharded_max_matches_single_device(rng, use_norm):
+    """Sharded 'max' reduce (per-shard segment-max, disjoint dst blocks):
+    values and gradients match the single-chip path (VERDICT r1 #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from allset_tpu.ops.exchange import dir_spmm
+    from allset_tpu.parallel.sharded import ShardedExchange, sharded_spmm
+
+    inc = _sl_incidence(rng)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(inc, mesh).shard()
+
+    for sd, ref_d in [(shex.v2e, inc.v2e_split()), (shex.e2v, inc.e2v_split())]:
+        rows = ref_d.num_src + (0 if sd.sl_mode != "add" else inc.num_nodes)
+        w = jnp.asarray(rng.normal(size=(rows, 8)).astype(np.float32))
+
+        def f_sh(w):
+            return sharded_spmm(w, sd, use_norm=use_norm, reduce="max")
+
+        def f_ref(w):
+            return dir_spmm(
+                w, ref_d, norm=ref_d.norm if use_norm else None, reduce="max"
+            )
+
+        out_sh, out_ref = f_sh(w), f_ref(w)
+        np.testing.assert_allclose(
+            np.asarray(out_sh), np.asarray(out_ref), rtol=1e-5, atol=1e-6
+        )
+        g_sh = jax.grad(lambda w: (f_sh(w) ** 2).sum())(w)
+        g_ref = jax.grad(lambda w: (f_ref(w) ** 2).sum())(w)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+        )
