@@ -12,7 +12,7 @@ import numpy as np
 from allset_tpu.graph.transforms import HyperData
 
 
-def dataset_statistics(data: HyperData) -> Dict[str, float]:
+def dataset_statistics(data: HyperData, num_shards: int = 8) -> Dict[str, float]:
     he_sizes = np.bincount(data.edge, minlength=data.num_hyperedges)
     he_sizes = he_sizes[he_sizes > 0]
     v_deg = np.bincount(data.node, minlength=data.num_nodes)
@@ -34,6 +34,24 @@ def dataset_statistics(data: HyperData) -> Dict[str, float]:
     }
     out.update(dist(he_sizes, "he_size"))
     out.update(dist(v_deg, "node_degree"))
+
+    # shard-balance diagnostic for the edge-partitioned exchange
+    # (parallel/sharded.py): per-shard entry skew (max/avg) of the V2E
+    # dst-sorted stream under equal row blocks vs segment-aware balanced
+    # cuts, at ``num_shards`` (SURVEY.md §7 "edge partitioning with
+    # power-law degrees")
+    from allset_tpu.parallel.sharded import shard_entry_counts
+
+    avg = max(data.nnz / num_shards, 1.0)
+    for side, ids, num in (
+        ("v2e", data.edge, data.num_hyperedges),
+        ("e2v", data.node, data.num_nodes),
+    ):
+        eq, bal, _ = shard_entry_counts(
+            np.sort(np.asarray(ids)), num, num_shards
+        )
+        out[f"shard{num_shards}_{side}_skew_rowblock"] = float(eq.max() / avg)
+        out[f"shard{num_shards}_{side}_skew_balanced"] = float(bal.max() / avg)
     return out
 
 

@@ -32,6 +32,36 @@ LN_EPS = 1e-5  # torch LayerNorm default
 BN_MOMENTUM = 0.9  # flax momentum == 1 - torch momentum (torch default 0.1)
 
 
+def _head_expand(a: Array, C: int) -> Array:
+    """Per-head column expansion ``repeat(a, C, axis=1)`` as an MXU matmul
+    against the block one-hot P[H, H*C] (P[h, j] = 1 iff j // C == h).
+
+    Exact: every output column copies exactly one input column (x1.0, one
+    nonzero term in the f32-accumulated contraction). On TPU, jnp.repeat
+    materializes [rows, H, C] 3-D layouts (~0.6 ms/step at bench shapes);
+    the tiny-contraction GEMM streams at full rate and its transpose is
+    another GEMM instead of a 3-D reduce."""
+    H = a.shape[1]
+    P = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, H * C), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (H, H * C), 1) // C
+    ).astype(a.dtype)
+    return a @ P
+
+
+def _colmax(a: Array) -> Array:
+    """f32 max over axis 0 of a narrow [rows, H] array. Axis-0 reduces over
+    an H-wide minor dim tile terribly on TPU (~0.4 ms at bench shapes for
+    H=8); when the row-major layout allows, bitcast-reshape to a lane-dense
+    [rows // g, g*H] block (g*H = 128) and reduce twice."""
+    rows, H = a.shape
+    if H <= 128 and 128 % H == 0 and rows % (128 // H) == 0:
+        g = 128 // H
+        m = jnp.max(a.reshape(rows // g, g * H), axis=0)
+        return jnp.max(m.reshape(g, H), axis=0)
+    return jnp.max(a, axis=0)
+
+
 def _declare_dense_params(mod: nn.Module, fan_in: int, features: int,
                           kernel_init: Optional[Callable]):
     """The single source of truth for TorchDense's param scheme (names,
@@ -237,17 +267,17 @@ class PMA(nn.Module):
                 indices_are_sorted=d.dst_is_sorted,
             )
             out = dir_reduce(
-                x_j * jnp.repeat(p, C, axis=1).astype(x_j.dtype), d, "add"
+                x_j * _head_expand(p.astype(x_j.dtype), C), d, "add"
             )
             attn = p
         else:
             # Padded entries carry out-of-range src/dst ids: the clip-gather
             # reads garbage rows but the reduce drops their segment, and the
             # gather's backward drops them symmetrically — no masking needed.
-            gmax = jax.lax.stop_gradient(jnp.max(alpha, axis=0))  # [H]
+            gmax = jax.lax.stop_gradient(_colmax(alpha))  # [H]
             gmax = jnp.maximum(gmax, 0.0)  # empty-table guard (keeps exp finite)
             e = jnp.exp(alpha - gmax[None, :]).astype(x_V.dtype)  # [N, H] <= 1
-            parts = [x_V * jnp.repeat(e, C, axis=1), e]
+            parts = [x_V * _head_expand(e, C), e]
             if kernel_active(d, HC + H) and (HC + H) % 128 != 0:
                 # Pallas DMA needs a lane-aligned minor dim; pad the packed
                 # [values | denom] source table to the next multiple of 128
@@ -256,8 +286,7 @@ class PMA(nn.Module):
             w = jnp.concatenate(parts, axis=1)  # [N, HC+H(+pad)]
             agg = dir_spmm(w, d)  # fused gather+reduce, permute-free bwd
             denom_h = jnp.maximum(agg[:, HC : HC + H], 1e-16)  # [M, H]
-            denom = jnp.repeat(denom_h, C, axis=1)
-            out = agg[:, :HC] / denom
+            out = agg[:, :HC] / _head_expand(denom_h, C)
             if self.return_attention:
                 # per-entry weight = e[src] / denom[dst] (debug/parity API;
                 # single-chip Directions only — sharded src/dst are [D, .])

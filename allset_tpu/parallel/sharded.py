@@ -17,11 +17,17 @@ reduce stays SORTED and routes through the Pallas kernel:
   * self-loop slots (N-slot layout, see graph/incidence.py) stay dense
     and replicated, outside the shard_map.
 
-Row-block partitioning is simple and correct; entry counts per shard can
-skew under power-law degree distributions (SURVEY.md §7 "hard parts").
-The segment-aware alternative (balance entries, cut at segment
-boundaries, variable row blocks) trades that skew for a ragged
-reassembly of the output table; revisit if profiles show imbalance.
+Partitioning is **segment-aware**: when equal row blocks would skew the
+per-shard entry counts (power-law degree distributions — SURVEY.md §7
+"hard parts" names walmart/yelp), the cut points move to the segment
+boundaries nearest the entry-balanced positions. Shards then own
+VARIABLE dst row ranges padded to one uniform block size; a static
+reassembly gather (``reasm``) puts the stacked shard outputs back in
+global row order, and the backward distributes the cotangent into the
+padded blocks with the inverse map (``dist_idx``) — two extra
+[num_dst]-row gathers, paid only when row blocks actually skew
+(``balance_threshold``). Segments still never straddle shards, so every
+per-shard reduce stays sorted and the forward stays collective-free.
 """
 
 from __future__ import annotations
@@ -92,6 +98,11 @@ class ShardedDirection:
     num_dst_total: int = dataclasses.field(metadata=dict(static=True))
     mesh: Mesh = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
+    # segment-aware balanced partition (None = equal row blocks): global
+    # row -> position in the stacked shard outputs, and shard-local row ->
+    # global row (clipped), for the fwd reassembly / bwd distribution
+    reasm: Optional[Array] = None  # i32[num_dst]
+    dist_idx: Optional[Array] = None  # i32[D, rows_per_shard]
     # optional TRACED per-entry norm in canonical order (set via
     # dataclasses.replace by the model, e.g. SetGNN LearnMask); when
     # present it overrides the baked norms in dir_spmm dispatch
@@ -102,15 +113,90 @@ class ShardedDirection:
         return self.src.shape[0]
 
 
+def shard_entry_counts(dst: np.ndarray, num_dst: int, D: int,
+                       s_blk: int = 256, balance_threshold: float = 1.25):
+    """Per-shard entry counts for equal row blocks vs segment-aware
+    balanced cuts on a dst-sorted entry stream. Returns
+    (counts_equal, counts_balanced, row_cuts_balanced) — the balance
+    diagnostic surfaced by data.statistics.dataset_statistics."""
+    rows = -(-num_dst // (D * s_blk)) * s_blk
+    cuts_eq = np.searchsorted(dst, np.arange(D + 1) * rows)
+    bal = _balanced_cuts(dst, num_dst, D, s_blk, balance_threshold)
+    if bal is None:
+        return np.diff(cuts_eq), np.diff(cuts_eq), None
+    cuts_e, row_cuts, _ = bal
+    return np.diff(cuts_eq), np.diff(cuts_e), row_cuts
+
+
+def _balanced_cuts(dst: np.ndarray, num_dst: int, D: int, s_blk: int,
+                   threshold: float):
+    """Entry-balanced, segment-aligned dst row cuts.
+
+    Returns None when equal row blocks are already within ``threshold``
+    of perfect balance (the reassembly gathers then cost nothing), else
+    (entry_cuts [D+1], row_cuts [D+1], rows_uniform). Cuts snap to the
+    segment boundary nearest each entry-balance target, so segments
+    never straddle shards and per-shard reduces stay sorted."""
+    nnz = len(dst)
+    if nnz == 0 or D <= 1:
+        return None
+    rows_eq = -(-num_dst // (D * s_blk)) * s_blk
+    cuts_eq = np.searchsorted(dst, np.arange(D + 1) * rows_eq)
+    if np.diff(cuts_eq).max() <= threshold * nnz / D:
+        return None
+    # entry positions where a new segment begins
+    starts = np.flatnonzero(np.diff(dst)) + 1
+    starts = np.concatenate([[0], starts, [nnz]]).astype(np.int64)
+    # adaptive greedy: each cut re-targets an equal share of the REMAINING
+    # entries over the remaining shards (a giant segment absorbed by one
+    # shard then no longer skews every later target), snapped to the
+    # nearest segment boundary at or after the previous cut
+    cuts_e = np.zeros(D + 1, np.int64)
+    cuts_e[D] = nnz
+    c = 0
+    for d in range(1, D):
+        target = c + (nnz - c) / (D - d + 1)
+        i = np.searchsorted(starts, target)
+        lo = starts[max(i - 1, 0)]
+        hi = starts[min(i, len(starts) - 1)]
+        pick = lo if (lo >= c and target - lo <= hi - target) else hi
+        c = max(c, int(pick))
+        cuts_e[d] = c
+    row_cuts = np.empty(D + 1, np.int64)
+    row_cuts[0] = 0
+    row_cuts[D] = num_dst
+    for d in range(1, D):
+        c = cuts_e[d]
+        row_cuts[d] = int(dst[c]) if c < nnz else num_dst
+    row_cuts = np.maximum.accumulate(row_cuts)
+    rows_uniform = -(-int(np.diff(row_cuts).max()) // s_blk) * s_blk
+    return cuts_e, row_cuts, max(rows_uniform, s_blk)
+
+
 def _build_one(dst, src, norm, canon_pos, nnz_pad_canon, num_src, num_dst,
-               D, s_blk, chunk):
+               D, s_blk, chunk, balance_threshold=1.25):
     """Host-side partition of one direction (entries dst-sorted).
     ``canon_pos[i]`` is entry i's position in the source incidence's
-    canonical entry order (for traced per-entry norms)."""
+    canonical entry order (for traced per-entry norms). Cuts move to the
+    segment boundaries nearest the entry-balance targets when equal row
+    blocks would skew past ``balance_threshold`` (power-law graphs); the
+    extra (reasm, dist_idx) maps are None on the equal-block path."""
     nnz = len(dst)
-    rows = -(-num_dst // (D * s_blk)) * s_blk  # rows per shard, s_blk-aligned
+    bal = _balanced_cuts(dst, num_dst, D, s_blk, balance_threshold)
+    if bal is None:
+        rows = -(-num_dst // (D * s_blk)) * s_blk  # rows/shard, s_blk-aligned
+        cuts = np.searchsorted(dst, np.arange(D + 1) * rows).astype(np.int64)
+        row_cuts = np.minimum(np.arange(D + 1) * rows, num_dst)
+        reasm = dist_idx = None
+    else:
+        cuts, row_cuts, rows = bal
+        reasm = np.empty(max(num_dst, 1), np.int32)
+        dist_idx = np.empty((D, rows), np.int32)
+        for d in range(D):
+            a, b = int(row_cuts[d]), int(row_cuts[d + 1])
+            reasm[a:b] = d * rows + np.arange(b - a, dtype=np.int32)
+            dist_idx[d] = np.minimum(a + np.arange(rows), num_dst - 1)
     num_dst_padded = rows * D
-    cuts = np.searchsorted(dst, np.arange(D + 1) * rows).astype(np.int64)
     max_e = int((cuts[1:] - cuts[:-1]).max()) if nnz else 0
     nnz_pad = pad_for_kernel(max(max_e, 1), chunk)
 
@@ -131,7 +217,7 @@ def _build_one(dst, src, norm, canon_pos, nnz_pad_canon, num_src, num_dst,
     for d in range(D):
         lo, hi = int(cuts[d]), int(cuts[d + 1])
         k = hi - lo
-        sdst = dst[lo:hi] - d * rows
+        sdst = dst[lo:hi] - int(row_cuts[d])
         ssrc = src[lo:hi]
         snorm = norm[lo:hi]
         spos = canon_pos[lo:hi]
@@ -150,6 +236,9 @@ def _build_one(dst, src, norm, canon_pos, nnz_pad_canon, num_src, num_dst,
         S["src_block_indptr"][d] = np.searchsorted(
             ssrc[order], np.arange(0, num_src_padded + s_blk, s_blk)
         )
+    if reasm is not None:
+        S["reasm"] = reasm
+        S["dist_idx"] = dist_idx
     return S, rows, num_dst_padded, num_src_padded
 
 
@@ -163,12 +252,15 @@ class ShardedExchange:
 
     @classmethod
     def build(cls, inc: Incidence, mesh: Mesh, axis: str = "edge",
-              split: bool | None = None) -> "ShardedExchange":
+              split: bool | None = None,
+              balance_threshold: float = 1.25) -> "ShardedExchange":
         """Partition ``inc`` (its real sub-incidence when the self-loop
         split is available) over the mesh's ``axis``. ``split=False``
         forces the FULL incidence — required for traced per-entry norms
         (LearnMask), whose canonical entry indexing covers self-loop
-        entries too."""
+        entries too. ``balance_threshold``: max tolerated per-shard entry
+        skew before cuts move to entry-balanced segment boundaries
+        (``inf`` forces equal row blocks)."""
         D = int(mesh.shape[axis])
         if split is None:
             split = inc.real is not None
@@ -184,7 +276,8 @@ class ShardedExchange:
 
         # V2E: entries already edge-sorted
         Sv, rows_v, mpad, npad_src = _build_one(
-            e, n, w, canon, npadc, core.num_nodes, core.num_edges, D, s_blk, chunk
+            e, n, w, canon, npadc, core.num_nodes, core.num_edges, D, s_blk,
+            chunk, balance_threshold,
         )
         ecount = np.bincount(e, minlength=core.num_edges).astype(np.float32)
         ncount = np.bincount(n, minlength=core.num_nodes).astype(np.float32)
@@ -218,6 +311,7 @@ class ShardedExchange:
         Se, rows_e, npad_dst, mpad_src = _build_one(
             n[order], e[order], w[order], canon[order], npadc,
             core.num_edges, core.num_nodes, D, s_blk, chunk,
+            balance_threshold,
         )
         de = ShardedDirection(
             **{k: jnp.asarray(v) for k, v in Se.items()},
@@ -253,7 +347,10 @@ class ShardedExchange:
                 "perm_canon", "perm_canon_srcsort",
             ):
                 kw[f] = jax.device_put(getattr(d, f), sh)
-            for f in ("sl_mask", "sl_norm", "dst_count"):
+            for f in ("dist_idx",):
+                v = getattr(d, f)
+                kw[f] = jax.device_put(v, sh) if v is not None else None
+            for f in ("sl_mask", "sl_norm", "dst_count", "reasm"):
                 v = getattr(d, f)
                 kw[f] = jax.device_put(v, rep) if v is not None else None
             return dataclasses.replace(d, **kw)
@@ -325,6 +422,8 @@ def _sharded_core_impl(meta, w, norm_c, sd):
     )
     out = fwd(w, norm_c, sd.src, sd.dst_local, sd.norm, sd.block_indptr,
               sd.perm_canon)
+    if sd.reasm is not None:  # balanced cuts: stacked blocks -> global rows
+        return jnp.take(out, sd.reasm, axis=0, mode="clip")[:num_dst]
     return out[:num_dst]
 
 
@@ -345,11 +444,14 @@ def _sharded_core_bwd(meta, res, g):
     (_, (num_src, _), _, _, _,
      (num_dst, num_dst_padded, mesh), axis, norm_grad) = meta
     gb = g.astype(dtok.dtype)
-    pad = num_dst_padded - num_dst
-    if pad:
-        gb = jnp.concatenate(
-            [gb, jnp.zeros((pad, gb.shape[1]), gb.dtype)], axis=0
-        )
+    if sd.dist_idx is not None:  # balanced cuts: global rows -> blocks
+        gb = jnp.take(gb, sd.dist_idx.reshape(-1), axis=0, mode="clip")
+    else:
+        pad = num_dst_padded - num_dst
+        if pad:
+            gb = jnp.concatenate(
+                [gb, jnp.zeros((pad, gb.shape[1]), gb.dtype)], axis=0
+            )
     if w is None:
         w = jnp.zeros((num_src, gb.shape[1]), dtok.dtype)
     bwd = jax.shard_map(
@@ -401,6 +503,10 @@ def sharded_segment_max(w, sd, norm_mode, norm_c):
         check_vma=True,
     )
     out = f(w, norm_c, sd.src, sd.dst_local, sd.norm, sd.perm_canon)
+    if sd.reasm is not None:
+        # balanced cuts; jnp.take's transpose (scatter-add of the cotangent
+        # into the stacked blocks) is exact — block rows are disjoint
+        return jnp.take(out, sd.reasm, axis=0, mode="clip")[: sd.num_dst]
     return out[: sd.num_dst]
 
 
