@@ -78,11 +78,16 @@ class HypergraphConv(nn.Module):
             alpha = segment_softmax(alpha, inc.node, n, mask=inc.mask)
             alpha = nn.Dropout(self.dropout)(alpha, deterministic=not train)
 
-        ones = inc.norm_ones()
         # D: weighted node degree (hyperedge weights are all-ones here, as
-        # in the reference default), B: edge cardinality.
-        D = segment_sum(ones, inc.node, n)
-        B = segment_sum(ones, inc.edge, m, indices_are_sorted=True)
+        # in the reference default), B: edge cardinality. Both are static
+        # graph quantities: prefer the incidence's precomputed counts —
+        # width-1 on-device segment sums tile terribly on TPU.
+        if inc.node_count is not None:
+            D, B = inc.node_count, inc.edge_count
+        else:
+            ones = inc.norm_ones()
+            D = segment_sum(ones, inc.node, n)
+            B = segment_sum(ones, inc.edge, m, indices_are_sorted=True)
         Binv = _safe_inv(B)
 
         if not self.symdegnorm:
@@ -98,13 +103,28 @@ class HypergraphConv(nn.Module):
             return segment_sum(msg, dst, num_seg, indices_are_sorted=sorted_)
 
         if alpha is None and inc.node_perm is not None:
-            # sorted-everywhere exchange: per-entry norm gathered from the
-            # destination-side degree vector in each execution order
+            # Sorted-everywhere exchange. The message norms B^-1[dst],
+            # D^-*[dst] are constant per destination segment, so they pull
+            # OUT of the reduce as table scalings: segsum(norm[dst]*x[src])
+            # == norm * segsum(x[src]). The fused spmm then runs the
+            # unweighted (PMA-style) path — no [nnz] norm gathers forward,
+            # and no src-sorted norm permute in the backward.
             from allset_tpu.ops.exchange import dir_spmm
 
-            dv, de = inc.v2e(), inc.e2v()
-            out = dir_spmm(x, dv, norm=gather_rows(Binv, dv.dst) * dv.mask)
-            out = dir_spmm(out, de, norm=gather_rows(Dinv, de.dst) * de.mask)
+            if inc.real is not None:
+                # N-slot self-loop split: the sparse core covers real
+                # edges only; self-loop slots are identity rows with B=1,
+                # holes zeroed by sl_mask
+                dv, de = inc.v2e_split(), inc.e2v_split()
+                scale_e = jnp.concatenate(
+                    [_safe_inv(inc.real.edge_count), inc.sl_mask]
+                )
+            else:
+                dv, de = inc.v2e(), inc.e2v()
+                scale_e = Binv
+            out = dir_spmm(x, dv) * scale_e[:, None].astype(x.dtype)
+            out = dir_spmm(out, de)
+            out = out * Dinv[:, None].astype(out.dtype)
         else:
             out = prop(x, inc.node, inc.edge, m, Binv, True)  # V->E, norm B^-1
             out = prop(out, inc.edge, inc.node, n, Dinv, False)  # E->V, norm D^-*

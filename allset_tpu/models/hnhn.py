@@ -41,13 +41,37 @@ class HNHNConv(nn.Module):
 
         from allset_tpu.ops.exchange import dir_spmm
 
+        # The destination-side norms D_e_beta_inv[dst], D_v_alpha_inv[dst]
+        # are constant per segment: pull them OUT of the reduces as table
+        # scalings (segsum(norm[dst]*x[src]) == norm * segsum(x[src])), so
+        # the fused spmm runs the unweighted path with no [nnz] norm
+        # gathers fwd or bwd. With the N-slot self-loop split the per-edge
+        # vectors are rearranged once: [real edges | per-node slots]
+        # (slot values scattered by sl_node, zero at holes).
+        split = inc.node_perm is not None and inc.real is not None
+        if split:
+            mr = inc.real.num_edges
+
+            def slot(vec_e):
+                tail = jnp.zeros((inc.num_nodes,), vec_e.dtype)
+                tail = tail.at[inc.sl_node].set(vec_e[mr:][: inc.num_sl_edges])
+                return jnp.concatenate([vec_e[:mr], tail])
+
+            scale_e_out = slot(ex["D_e_beta_inv"])
+            scale_e_in = slot(ex["D_e_alpha"])
+        else:
+            scale_e_out = ex["D_e_beta_inv"]
+            scale_e_in = ex["D_e_alpha"]
+
         x = TorchDense(self.hidden_channels, dtype=self.dtype, name="weight_v2e")(x)
         x = ex["D_v_beta"][:, None].astype(x.dtype) * x
         # V->E: message norm_i = D_e_beta_inv at the destination edge
-        if inc.node_perm is not None:
-            dv = inc.v2e()
-            nv = gather_rows(ex["D_e_beta_inv"], dv.dst) * dv.mask
-            out = dir_spmm(x, dv, norm=nv)
+        if split:
+            out = dir_spmm(x, inc.v2e_split())
+            out = scale_e_out[:, None].astype(out.dtype) * out
+        elif inc.node_perm is not None:
+            out = dir_spmm(x, inc.v2e())
+            out = scale_e_out[:, None].astype(out.dtype) * out
         else:
             msg = gather_rows(x, inc.node) * gather_rows(ex["D_e_beta_inv"], inc.edge)[:, None]
             msg = msg * inc.mask[:, None].astype(msg.dtype)
@@ -57,12 +81,14 @@ class HNHNConv(nn.Module):
             out = nn.relu(out)
 
         out = TorchDense(self.out_channels, dtype=self.dtype, name="weight_e2v")(out)
-        out = ex["D_e_alpha"][:, None].astype(out.dtype) * out
+        out = scale_e_in[:, None].astype(out.dtype) * out
         # E->V: message norm_i = D_v_alpha_inv at the destination node
+        if split:
+            out = dir_spmm(out, inc.e2v_split())
+            return ex["D_v_alpha_inv"][:, None].astype(out.dtype) * out
         if inc.node_perm is not None:
-            de = inc.e2v()
-            ne = gather_rows(ex["D_v_alpha_inv"], de.dst) * de.mask
-            return dir_spmm(out, de, norm=ne)
+            out = dir_spmm(out, inc.e2v())
+            return ex["D_v_alpha_inv"][:, None].astype(out.dtype) * out
         msg = gather_rows(out, inc.edge) * gather_rows(ex["D_v_alpha_inv"], inc.node)[:, None]
         msg = msg * inc.mask[:, None].astype(msg.dtype)
         return segment_sum(msg, inc.node, inc.num_nodes)

@@ -61,23 +61,32 @@ def main():
 
         return scan_time(body, v)
 
-    cfg = HCHAConfig(num_features=256, num_classes=8, all_num_layers=2, mlp_hidden=256)
+    dt = os.environ.get("ZOO_DTYPE", "bfloat16")
+    cfg = HCHAConfig(num_features=256, num_classes=8, all_num_layers=2,
+                     mlp_hidden=256, dtype=dt)
     t = fwd_bwd_time(HCHA(cfg), batch)
     print(f"HCHA      fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
 
     hd2 = generate_norm_hnhn(hd, alpha=-1.5, beta=-0.5)
     b2 = Batch.from_hyperdata(hd2, bucket=1024)
-    cfg = HNHNConfig(num_features=256, num_classes=8, all_num_layers=2, mlp_hidden=256)
+    cfg = HNHNConfig(num_features=256, num_classes=8, all_num_layers=2,
+                     mlp_hidden=256, dtype=dt)
     t = fwd_bwd_time(HNHN(cfg), b2)
     print(f"HNHN      fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
 
-    hd3 = hd.copy()
+    # UniGCNII's factory pipeline has no Add_Self_Loops (src/train.py:390-416)
+    hd3 = scale_free_hypergraph(
+        num_nodes=1 << 17, num_hyperedges=1 << 16, avg_edge_size=12,
+        feature_dim=256, seed=0,
+    )
+    hd3 = norm_construction(hd3, "all_one")
     degV, degE = unignn_degrees(hd3)
     hd3.extras = dict(hd3.extras, degV=degV, degE=degE)
     b3 = Batch.from_hyperdata(hd3, bucket=1024)
-    cfg = UniGCNIIConfig(num_features=256, num_classes=8, all_num_layers=2, mlp_hidden=256)
+    cfg = UniGCNIIConfig(num_features=256, num_classes=8, all_num_layers=2,
+                         mlp_hidden=256, dtype=dt)
     t = fwd_bwd_time(UniGCNII(cfg), b3)
-    print(f"UniGCNII  fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
+    print(f"UniGCNII  fwd+bwd: {t*1e3:7.2f} ms  ({b3.inc.nnz/t/1e6:6.2f} M edges/s)")
 
 
 if __name__ == "__main__":
