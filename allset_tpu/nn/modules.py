@@ -116,6 +116,44 @@ class _DenseParams(nn.Module):
         return _declare_dense_params(self, self.fan_in, self.features, self.kernel_init)
 
 
+class _LNParams(nn.Module):
+    """Parameter skeleton of nn.LayerNorm (same names 'scale'/'bias',
+    same ones/zeros inits) without computing it — for the fused PMA
+    epilogue kernel, which consumes the raw vectors."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _MLPParams(nn.Module):
+    """Parameter skeleton of an equal-width MLP (same 'lin{i}' names and
+    TorchDense inits as MLP with normalization='None') returning stacked
+    [L, F, F] kernels / [L, F] biases for the fused PMA epilogue."""
+
+    hidden: int
+    out: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self):
+        ks, bs = [], []
+        fan_in = self.hidden
+        for i in range(self.num_layers - 1):
+            k, b = _DenseParams(self.hidden, fan_in, None, name=f"lin{i}")()
+            ks.append(k), bs.append(b)
+        k, b = _DenseParams(
+            self.out, fan_in, None, name=f"lin{self.num_layers - 1}"
+        )()
+        ks.append(k), bs.append(b)
+        return jnp.stack(ks), jnp.stack(bs)
+
+
 class NormLayer(nn.Module):
     """'bn' | 'ln' | 'None' normalization (reference MLP's per-layer
     normalizations, ``src/layers.py:506-560``). Statistics always compute
@@ -228,7 +266,7 @@ class PMA(nn.Module):
         # P the [HC, H] block-diagonal seed expansion. This removes the
         # whole [rows, HC] x_K GEMM and its HBM round trip, exactly.
         WK, bK = _DenseParams(HC, x.shape[-1], glorot_uniform(), name="lin_K")()
-        x_V = TorchDense(HC, kernel_init=glorot_uniform(), dtype=self.dtype, name="lin_V")(x)
+        WV, bV = _DenseParams(HC, x.shape[-1], glorot_uniform(), name="lin_V")()
 
         att_r = self.param("att_r", xavier_uniform_torch_fans((1, H, C)), (1, H, C))
         att_flat = att_r.reshape(HC)
@@ -249,7 +287,16 @@ class PMA(nn.Module):
         Wa = WK @ proj  # [in_dim, H] (f32 param math; tiny)
         ba = bK @ proj  # [H]
         xc = x.astype(self.dtype) if self.dtype is not None else x
-        alpha = (xc @ Wa.astype(xc.dtype)).astype(jnp.float32) + ba[None, :]
+        # ONE fused MXU GEMM computes [values | seed scores]: the H-column
+        # alpha GEMM — and its dWa / dx backward GEMMs — fold into lin_V's
+        # (an 8-wide GEMM costs a full pass over x either way; the fused
+        # [in, HC+H] kernel adds 8 columns to a tile XLA pads to 128 lanes
+        # regardless). Biases stay separate adds so alpha keeps its f32
+        # bias math; both fuse into the consumers.
+        Wf = jnp.concatenate([WV, Wa], axis=1)  # [in_dim, HC+H] f32 params
+        yf = xc @ Wf.astype(xc.dtype)
+        x_V = yf[:, :HC] + bV.astype(yf.dtype)
+        alpha = yf[:, HC:].astype(jnp.float32) + ba[None, :]
         alpha = nn.leaky_relu(alpha, self.negative_slope)
 
         if self.softmax_mode == "segment":
@@ -285,6 +332,26 @@ class PMA(nn.Module):
                 parts.append(jnp.zeros((x_V.shape[0], pad), x_V.dtype))
             w = jnp.concatenate(parts, axis=1)  # [N, HC+H(+pad)]
             agg = dir_spmm(w, d)  # fused gather+reduce, permute-free bwd
+
+            from allset_tpu.ops.pallas_pma import (
+                epilogue_active, pma_epilogue,
+            )
+
+            if not self.return_attention and epilogue_active(
+                HC, H, self.num_layers, self.out_dim
+            ):
+                # fused epilogue: divide + seed + ln0 + rFF + relu residual
+                # + ln1, one Pallas pass fwd and one bwd (ops/pallas_pma.py).
+                # Params declared through the same skeletons as the module
+                # path below — identical names/shapes/inits, so checkpoints
+                # and the vmapped-runs fallback interchange freely.
+                g0, b0 = _LNParams(HC, name="ln0")()
+                Wrff, brff = _MLPParams(HC, self.out_dim,
+                                        self.num_layers, name="rFF")()
+                g1, b1 = _LNParams(self.out_dim, name="ln1")()
+                return pma_epilogue(H, 1024, False, agg, att_flat,
+                                    g0, b0, Wrff, brff, g1, b1)
+
             denom_h = jnp.maximum(agg[:, HC : HC + H], 1e-16)  # [M, H]
             out = agg[:, :HC] / _head_expand(denom_h, C)
             if self.return_attention:

@@ -1,0 +1,396 @@
+"""Fused PMA epilogue Pallas kernel: denominator-divide + seed residual +
+LayerNorm + rFF (1- or 2-layer MLP) + ReLU residual + LayerNorm, forward
+and backward each as ONE pass over the aggregate table.
+
+Motivation (benchmarks/trace_step.py on v5e): the XLA lowering of the PMA
+epilogue (reference math ``src/layers.py:128-157``: ``out = ln1(z +
+relu(rFF(z))), z = ln0(agg/denom + seed)``) spends ~3.3 ms/step at bench
+shapes — the LayerNorm backward's dgamma/dbeta column reduces re-read the
+[rows, 256] activations through f32[32,2,8,128] staging fusions, and the
+divide / residual / GEMM passes each round-trip HBM. Every op here is
+row-local (LN normalizes the lane axis; the rFF GEMM is per-row), so one
+kernel computes the whole chain per row block with the activations resident
+in VMEM:
+
+  * forward: read agg [M, WP] once, write out [M, HC] once;
+  * backward: read (agg, gout) once, recompute the forward in VMEM
+    (rematerialization — no residuals stored), write dagg [M, WP] once;
+    dW / dseed / dgamma / dbeta accumulate in revisited f32 output blocks
+    across the sequential grid (no HBM traffic until the final flush).
+
+The [M, WP] aggregate is dir_spmm's packed layout: columns [0, HC) carry
+the attention-weighted value sums, [HC, HC+H) the per-head softmax
+denominators, and [HC+H, WP) lane padding (see PMA in nn/modules.py).
+
+vmapped statistical runs: the fused kernels sit behind JAX primitives
+whose batching rule falls back to the reference XLA composition — the
+generic pallas_call batching would transpose the run axis into row-major
+per-run blocks (a full copy of the aggregate table per step), while the
+unfused composition batches for free. Single-run training (bench, the
+sequential CLI protocol, serving) gets the fused pass.
+
+Numerics match the unfused flax path: LN statistics in f32 (fast-variance
+form, flax default), GEMMs in the activation dtype with their outputs
+rounded like TorchDense, all other math f32. Parity is tested in
+tests/test_pallas_pma.py (interpret mode on CPU; real kernel on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+LANE = 128
+EPS = 1e-5  # torch/flax LayerNorm default (nn.modules.LN_EPS)
+DEN_FLOOR = 1e-16  # softmax denominator clamp (nn/modules.py PMA)
+
+
+def epilogue_active(hid_dim: int, heads: int, num_layers: int,
+                    out_dim: int) -> bool:
+    """Will PMA route its epilogue through the fused kernel? True on a
+    single TPU chip for lane-aligned widths and rFF depths 1 or 2 (the
+    reference's MLP_num_layers space that keeps out_dim == hid_dim)."""
+    plat = jax.devices()[0].platform
+    return (
+        plat in ("tpu", "axon")
+        and jax.device_count() == 1
+        and hid_dim % LANE == 0
+        and out_dim == hid_dim
+        and num_layers in (1, 2)
+        and heads >= 1
+    )
+
+
+def _expand_mat(H: int, HC: int) -> Array:
+    """One-hot per-head column expansion P[h, j] = 1 iff j // C == h."""
+    C = HC // H
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (H, HC), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (H, HC), 1) // C
+    ).astype(jnp.float32)
+
+
+def _ln_f(x, g, b):
+    """flax LayerNorm in f32 (fast variance); returns (y, xhat, rstd)."""
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean(x * x, axis=1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + EPS)
+    xhat = (x - mu) * rstd
+    return xhat * g + b, xhat, rstd
+
+
+def _fwd_recompute(a, seed, g0, b0, Ws, brffs, g1, b1, H, HC, L, cdt):
+    """Forward chain on one f32 block; returns every intermediate the
+    backward needs. ``cdt`` = activation compute dtype (GEMM rounding)."""
+    P = _expand_mat(H, HC)
+    v = a[:, :HC]
+    den_raw = a[:, HC : HC + H]
+    den = jnp.maximum(den_raw, DEN_FLOOR)
+    deninv = 1.0 / den
+    denE = deninv @ P  # [blk, HC]
+    out0 = v * denE + seed
+    z, xhat0, rstd0 = _ln_f(out0, g0, b0)
+    zb = z.astype(cdt)  # rounded like the unfused bf16 activation
+    h = zb
+    pres = []
+    for l in range(L):
+        # TorchDense rounding: GEMM accumulates f32 (Mosaic requires a
+        # 32-bit acc; XLA's bf16 GEMM does the same), output rounds to the
+        # activation dtype, bias adds in-dtype
+        p32 = jax.lax.dot_general(
+            h, Ws[l].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = (p32.astype(cdt).astype(jnp.float32)
+             + brffs[l]).astype(cdt).astype(jnp.float32)
+        pres.append(p)
+        if l < L - 1:
+            h = jnp.maximum(p, 0.0).astype(cdt)  # inner relu (MLP hidden)
+    out2 = zb.astype(jnp.float32) + jnp.maximum(pres[-1], 0.0)
+    y, xhat1, rstd1 = _ln_f(out2, g1, b1)
+    return dict(v=v, den_raw=den_raw, deninv=deninv, denE=denE, P=P,
+                zb=zb, pres=pres, xhat0=xhat0, rstd0=rstd0,
+                xhat1=xhat1, rstd1=rstd1, y=y)
+
+
+def _ln_bwd(gy, xhat, rstd, g):
+    gg = gy * g
+    m1 = jnp.mean(gg, axis=1, keepdims=True)
+    m2 = jnp.mean(gg * xhat, axis=1, keepdims=True)
+    dx = rstd * (gg - m1 - xhat * m2)
+    dgamma = jnp.sum(gy * xhat, axis=0)
+    dbeta = jnp.sum(gy, axis=0)
+    return dx, dgamma, dbeta
+
+
+def _fwd_kernel(H, HC, L, cdt, a_ref, seed_ref, g0_ref, b0_ref, W_ref,
+                br_ref, g1_ref, b1_ref, y_ref):
+    a = a_ref[...].astype(jnp.float32)
+    Ws = [W_ref[l] for l in range(L)]
+    brffs = [br_ref[0, l * HC : (l + 1) * HC] for l in range(L)]
+    r = _fwd_recompute(a, seed_ref[...], g0_ref[...], b0_ref[...], Ws,
+                       brffs, g1_ref[...], b1_ref[...], H, HC, L, cdt)
+    y_ref[...] = r["y"].astype(y_ref.dtype)
+
+
+def _bwd_kernel(H, HC, L, nrows, cdt, a_ref, gy_ref, seed_ref, g0_ref,
+                b0_ref, W_ref, br_ref, g1_ref, b1_ref, da_ref, dW_ref,
+                ds_ref):
+    i = pl.program_id(0)
+    blk = a_ref.shape[0]
+    WP = a_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        dW_ref[...] = jnp.zeros(dW_ref.shape, dW_ref.dtype)
+        ds_ref[...] = jnp.zeros(ds_ref.shape, ds_ref.dtype)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + i * blk
+    valid = row < nrows
+    # where, not multiply: out-of-bounds rows of the last block may read
+    # uninitialized/NaN data and NaN * 0 == NaN would poison accumulators
+    a = jnp.where(valid, a_ref[...].astype(jnp.float32), 0.0)
+    gy = jnp.where(valid, gy_ref[...].astype(jnp.float32), 0.0)
+
+    Ws = [W_ref[l] for l in range(L)]
+    brffs = [br_ref[0, l * HC : (l + 1) * HC] for l in range(L)]
+    r = _fwd_recompute(a, seed_ref[...], g0_ref[...], b0_ref[...], Ws,
+                       brffs, g1_ref[...], b1_ref[...], H, HC, L, cdt)
+
+    dout2, dg1, db1 = _ln_bwd(gy, r["xhat1"], r["rstd1"], g1_ref[...])
+    dz = dout2
+    # outer relu on the rFF output
+    dp = dout2 * (r["pres"][-1] > 0.0)
+    dbr = [None] * L
+    for l in range(L - 1, -1, -1):
+        dbr[l] = jnp.sum(dp, axis=0)
+        hin = r["zb"] if l == 0 else jnp.maximum(r["pres"][l - 1], 0.0).astype(cdt)
+        dW_ref[l] += jax.lax.dot_general(
+            hin.astype(jnp.float32), dp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh = jax.lax.dot_general(
+            dp, Ws[l], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l > 0:
+            dp = dh * (r["pres"][l - 1] > 0.0)  # inner relu bwd
+        else:
+            dz = dz + dh
+
+    dout0, dg0, db0 = _ln_bwd(dz, r["xhat0"], r["rstd0"], g0_ref[...])
+    dseed = jnp.sum(dout0, axis=0)
+    dv = dout0 * r["denE"]
+    dden = -jax.lax.dot_general(
+        dout0 * r["v"], r["P"], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (r["deninv"] * r["deninv"])
+    dden = jnp.where(r["den_raw"] > DEN_FLOOR, dden, 0.0)
+
+    pad = WP - HC - H
+    dden_pad = jnp.concatenate(
+        [dden, jnp.zeros((blk, pad), jnp.float32)], axis=1
+    )
+    da_ref[...] = jnp.concatenate([dv, dden_pad], axis=1).astype(da_ref.dtype)
+
+    # small-vector grads: one revisited [8, HC] f32 accumulator
+    rows = [dseed, dg0, db0, dg1, db1]
+    rows += dbr + [jnp.zeros((HC,), jnp.float32)] * (3 - L)
+    ds_ref[...] += jnp.stack(rows, axis=0)
+
+
+# --- reference composition (batching fallback + parity oracle) -------------
+
+def _reference_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H):
+    """The unfused XLA epilogue — the exact math PMA computed before the
+    kernel existed (and still computes under vmapped runs)."""
+    HC = seed.shape[-1]
+    C = HC // H
+    P = _expand_mat(H, HC).astype(agg.dtype)
+    denom_h = jnp.maximum(agg[:, HC : HC + H], DEN_FLOOR)
+    out = agg[:, :HC] / (denom_h @ P)
+    out = out + seed[None, :].astype(out.dtype)
+
+    def ln(x, g, b):
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+        y = (xf - mu) * jax.lax.rsqrt(var + EPS) * g + b
+        return y.astype(x.dtype)
+
+    z = ln(out, g0, b0)
+    h = z
+    L = Wrff.shape[0]
+    for l in range(L):
+        h = (h @ Wrff[l].astype(h.dtype)) + brff[l].astype(h.dtype)
+        if l < L - 1:
+            h = jnp.maximum(h, 0)
+    out2 = z + jnp.maximum(h, 0).astype(z.dtype)
+    return ln(out2, g1, b1)
+
+
+def _reference_bwd(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, *, H):
+    _, vjp = jax.vjp(
+        functools.partial(_reference_fwd, H=H),
+        agg, seed, g0, b0, Wrff, brff, g1, b1,
+    )
+    dagg, dseed, dg0, db0, dW, dbr, dg1, db1 = vjp(gy.astype(agg.dtype))
+    L = Wrff.shape[0]
+    HC = seed.shape[-1]
+    rows = [dseed, dg0, db0, dg1, db1]
+    rows += [dbr[l] for l in range(L)]
+    rows += [jnp.zeros((HC,), jnp.float32)] * (3 - L)
+    dsmall = jnp.stack([r.astype(jnp.float32) for r in rows], axis=0)
+    return dagg, dW.astype(jnp.float32), dsmall
+
+
+# --- primitives: pallas impl, reference-composition batching ---------------
+
+from jax.core import ShapedArray
+from jax.extend.core import Primitive
+from jax.interpreters import batching, mlir
+
+_epi_fwd_p = Primitive("allset_pma_epilogue_fwd")
+_epi_bwd_p = Primitive("allset_pma_epilogue_bwd")
+_epi_bwd_p.multiple_results = True
+
+
+def _pallas_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk, interpret):
+    M, WP = agg.shape
+    HC = seed.shape[-1]
+    L = Wrff.shape[0]
+    cdt = agg.dtype
+    grid = (M + blk - 1) // blk
+    vec = lambda: pl.BlockSpec((1, HC), lambda i: (0, 0))
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, H, HC, L, cdt),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((blk, WP), lambda i: (i, 0)),
+            vec(), vec(), vec(),
+            pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, L * HC), lambda i: (0, 0)),
+            vec(), vec(),
+        ],
+        out_specs=pl.BlockSpec((blk, HC), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, HC), cdt),
+        interpret=interpret,
+    )(agg, seed.reshape(1, HC), g0.reshape(1, HC), b0.reshape(1, HC),
+      Wrff, brff.reshape(1, L * HC), g1.reshape(1, HC), b1.reshape(1, HC))
+    return y
+
+
+def _pallas_bwd(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk,
+                interpret):
+    M, WP = agg.shape
+    HC = seed.shape[-1]
+    L = Wrff.shape[0]
+    cdt = agg.dtype
+    grid = (M + blk - 1) // blk
+    vec = lambda: pl.BlockSpec((1, HC), lambda i: (0, 0))
+    dagg, dW, dsmall = pl.pallas_call(
+        functools.partial(_bwd_kernel, H, HC, L, M, cdt),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((blk, WP), lambda i: (i, 0)),
+            pl.BlockSpec((blk, HC), lambda i: (i, 0)),
+            vec(), vec(), vec(),
+            pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, L * HC), lambda i: (0, 0)),
+            vec(), vec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, WP), lambda i: (i, 0)),
+            pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
+            pl.BlockSpec((8, HC), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, WP), cdt),
+            jax.ShapeDtypeStruct((L, HC, HC), jnp.float32),
+            jax.ShapeDtypeStruct((8, HC), jnp.float32),
+        ],
+        interpret=interpret,
+    )(agg, gy, seed.reshape(1, HC), g0.reshape(1, HC), b0.reshape(1, HC),
+      Wrff, brff.reshape(1, L * HC), g1.reshape(1, HC), b1.reshape(1, HC))
+    return dagg, dW, dsmall
+
+
+def _fwd_abstract(agg, seed, *rest, **kw):
+    return ShapedArray((agg.shape[0], seed.shape[-1]), agg.dtype)
+
+
+def _bwd_abstract(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, **kw):
+    HC = seed.shape[-1]
+    return (
+        ShapedArray(agg.shape, agg.dtype),
+        ShapedArray(Wrff.shape, jnp.float32),
+        ShapedArray((8, HC), jnp.float32),
+    )
+
+
+def _fwd_batch(args, dims, **kw):
+    in_axes = [None if d is batching.not_mapped else d for d in dims]
+    f = jax.vmap(
+        functools.partial(_reference_fwd, H=kw["H"]), in_axes=in_axes
+    )
+    return f(*args), 0
+
+
+def _bwd_batch(args, dims, **kw):
+    in_axes = [None if d is batching.not_mapped else d for d in dims]
+    f = jax.vmap(
+        functools.partial(_reference_bwd, H=kw["H"]), in_axes=in_axes
+    )
+    return f(*args), (0, 0, 0)
+
+
+_epi_fwd_p.def_impl(functools.partial(_pallas_fwd))
+_epi_fwd_p.def_abstract_eval(_fwd_abstract)
+batching.primitive_batchers[_epi_fwd_p] = _fwd_batch
+mlir.register_lowering(
+    _epi_fwd_p, mlir.lower_fun(_pallas_fwd, multiple_results=False)
+)
+
+_epi_bwd_p.def_impl(functools.partial(_pallas_bwd))
+_epi_bwd_p.def_abstract_eval(_bwd_abstract)
+batching.primitive_batchers[_epi_bwd_p] = _bwd_batch
+mlir.register_lowering(
+    _epi_bwd_p, mlir.lower_fun(_pallas_bwd, multiple_results=True)
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def pma_epilogue(H, blk, interpret, agg, seed, g0, b0, Wrff, brff, g1, b1):
+    """out = LN1(z + relu(rFF(z))), z = LN0(agg_vals / denom + seed) — the
+    PMA epilogue (reference ``src/layers.py:128-157``) as one fused Pallas
+    pass. ``agg`` is dir_spmm's packed [M, WP] aggregate; ``Wrff`` is
+    [L, HC, HC] stacked rFF kernels, ``brff`` [L, HC] stacked biases."""
+    return _epi_fwd_p.bind(agg, seed, g0, b0, Wrff, brff, g1, b1,
+                           H=H, blk=blk, interpret=interpret)
+
+
+def _epilogue_fwd(H, blk, interpret, agg, seed, g0, b0, Wrff, brff, g1, b1):
+    y = _epi_fwd_p.bind(agg, seed, g0, b0, Wrff, brff, g1, b1,
+                        H=H, blk=blk, interpret=interpret)
+    return y, (agg, seed, g0, b0, Wrff, brff, g1, b1)
+
+
+def _epilogue_bwd(H, blk, interpret, res, gy):
+    agg, seed, g0, b0, Wrff, brff, g1, b1 = res
+    L = Wrff.shape[0]
+    dagg, dW, dsmall = _epi_bwd_p.bind(
+        agg, gy, seed, g0, b0, Wrff, brff, g1, b1,
+        H=H, blk=blk, interpret=interpret,
+    )
+    dseed, dg0, db0, dg1, db1 = (dsmall[k] for k in range(5))
+    dbrff = dsmall[5 : 5 + L]
+    return (dagg, dseed.astype(seed.dtype), dg0, db0, dW, dbrff, dg1, db1)
+
+
+pma_epilogue.defvjp(_epilogue_fwd, _epilogue_bwd)
