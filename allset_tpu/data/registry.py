@@ -113,7 +113,11 @@ def load_dataset(
     else:
         p2raw = default_p2raw(name, root)
         if name in ("cora", "citeseer", "pubmed", "coauthor_cora", "coauthor_dblp"):
-            data = load_citation_dataset(p2raw, name)
+            # coauthorship raws live under their bare names: coauthorship/
+            # cora, coauthorship/dblp (convert_datasets_to_pygDataset.py:
+            # 127-132 strips the prefix)
+            raw_name = name.split("_")[-1] if name.startswith("coauthor") else name
+            data = load_citation_dataset(p2raw, raw_name)
         elif name in ("20newsW100", "ModelNet40", "zoo", "NTU2012", "Mushroom"):
             data = load_LE_dataset(p2raw, name)
         elif name == "yelp":
