@@ -87,13 +87,17 @@ def scale_free_hypergraph(
     pop = (np.arange(1, num_nodes + 1, dtype=np.float64)) ** -exponent
     pop /= pop.sum()
     sizes = np.maximum(2, rng.poisson(avg_edge_size, size=num_hyperedges))
-    nodes = []
-    edges = []
-    for e, k in enumerate(sizes):
-        members = np.unique(rng.choice(num_nodes, size=k, p=pop))
-        nodes.append(members)
-        edges.append(np.full(len(members), e))
-    node, edge = coalesce(np.concatenate(nodes), np.concatenate(edges))
+    # one global weighted draw: rng.choice with p is O(num_nodes) PER CALL
+    # (cumsum rebuild), which made per-edge draws quadratic-ish — ~15 min
+    # at the 4x bench scale. Inverse-CDF sampling over one precomputed
+    # cumsum is O(total * log N); coalesce dedups within-edge repeats
+    # exactly like the per-edge np.unique did.
+    cdf = np.cumsum(pop)
+    cdf[-1] = 1.0
+    total = int(sizes.sum())
+    draws = np.searchsorted(cdf, rng.random(total), side="right")
+    edge_ids = np.repeat(np.arange(num_hyperedges, dtype=np.int64), sizes)
+    node, edge = coalesce(draws.astype(np.int64), edge_ids)
     y = rng.integers(0, num_classes, size=num_nodes).astype(np.int64)
     x = rng.normal(size=(num_nodes, feature_dim)).astype(np.float32)
     return HyperData(

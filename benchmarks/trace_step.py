@@ -11,16 +11,53 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _build_zoo(which: str):
+    """TRACE_MODEL=HCHA|HNHN|UniGCNII traces a zoo model instead of the
+    flagship (same graph as benchmarks/zoo_bench.py)."""
+    from allset_tpu.data.synthetic import scale_free_hypergraph
+    from allset_tpu.graph import add_self_loops, norm_construction
+    from allset_tpu.graph.batch import Batch
+    from allset_tpu.graph.transforms import generate_norm_hnhn, unignn_degrees
+
+    hd = scale_free_hypergraph(
+        num_nodes=1 << 17, num_hyperedges=1 << 16, avg_edge_size=12,
+        feature_dim=256, seed=0,
+    )
+    kw = dict(num_features=256, num_classes=8, all_num_layers=2,
+              mlp_hidden=256, dtype="bfloat16")
+    if which == "HCHA":
+        from allset_tpu.models.hcha import HCHA, HCHAConfig
+
+        hd = norm_construction(add_self_loops(hd), "all_one")
+        return HCHA(HCHAConfig(**kw)), Batch.from_hyperdata(hd, bucket=1024)
+    if which == "HNHN":
+        from allset_tpu.models.hnhn import HNHN, HNHNConfig
+
+        hd = norm_construction(add_self_loops(hd), "all_one")
+        hd = generate_norm_hnhn(hd, alpha=-1.5, beta=-0.5)
+        return HNHN(HNHNConfig(**kw)), Batch.from_hyperdata(hd, bucket=1024)
+    from allset_tpu.models.unignn import UniGCNII, UniGCNIIConfig
+
+    hd = norm_construction(hd, "all_one")
+    degV, degE = unignn_degrees(hd)
+    hd.extras = dict(hd.extras, degV=degV, degE=degE)
+    return UniGCNII(UniGCNIIConfig(**kw)), Batch.from_hyperdata(hd, bucket=1024)
+
+
 def main():
     import bench
     import optax
     from allset_tpu.train.trainer import masked_nll, torch_adam
 
-    model, batch = bench.build(
-        int(os.environ.get("BENCH_NODES", 1 << 17)),
-        int(os.environ.get("BENCH_EDGES", 1 << 16)),
-        12, 256, 8,
-    )
+    which = os.environ.get("TRACE_MODEL", "")
+    if which:
+        model, batch = _build_zoo(which)
+    else:
+        model, batch = bench.build(
+            int(os.environ.get("BENCH_NODES", 1 << 17)),
+            int(os.environ.get("BENCH_EDGES", 1 << 16)),
+            12, 256, 8,
+        )
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
     params = variables["params"]
     tx = torch_adam(1e-3, 0.0)
