@@ -118,6 +118,20 @@ def _sorted_sum(msgs, ids, block_indptr, num_seg, num_seg_padded, d: Direction):
     Accumulates in float32, returns msgs.dtype [num_seg, F] (bf16 in ->
     bf16 out: halves the HBM write and downstream elementwise traffic)."""
     nnz_pad, F = msgs.shape
+    if F % LANE != 0:
+        Fp = -(-F // LANE) * LANE
+        if _kernel_ok(d, block_indptr, nnz_pad, Fp, msgs.dtype):
+            # lane-pad narrow reduces: XLA lowers a sub-lane-width sorted
+            # segment-sum as scatter-add (~6.5 ms for the zoo's
+            # [452k] -> [65k, 8] classifier-width exchange on v5e vs
+            # <1 ms padded through the kernel); the zero columns cost one
+            # fused pad pass over [nnz, Fp]
+            pad = jnp.zeros((nnz_pad, Fp - F), msgs.dtype)
+            out = _sorted_sum(
+                jnp.concatenate([msgs, pad], axis=1),
+                ids, block_indptr, num_seg, num_seg_padded, d,
+            )
+            return out[:, :F]
     pallas = _kernel_ok(d, block_indptr, nnz_pad, F, msgs.dtype)
     meta = (num_seg, num_seg_padded, d.s_blk, d.chunk, pallas)
     if block_indptr is None:

@@ -16,19 +16,30 @@ def _sync(out):
         np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
-def scan_time(body, init, K=8, n=3):
-    @jax.jit
-    def run(x):
-        return jax.lax.scan(lambda c, _: (body(c), None), x, None, length=K)[0]
+def scan_time(body, init, K=(8, 40), n=3):
+    """Per-step time as the SLOPE between two scan lengths: one device_get
+    through the axon tunnel costs ~250 ms, so a single-K measurement at
+    small K is fetch-dominated (divide-by-K hides a constant that dwarfs
+    the step). The difference of two lengths cancels launch + fetch."""
+    k0, k1 = K
 
-    _sync(run(init))
-    best = 1e9
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = run(init)
-        _sync(out)
-        best = min(best, time.perf_counter() - t0)
-    return best / K
+    def timed(k):
+        @jax.jit
+        def run(x):
+            return jax.lax.scan(
+                lambda c, _: (body(c), None), x, None, length=k
+            )[0]
+
+        _sync(run(init))
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = run(init)
+            _sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(k1) - timed(k0)) / (k1 - k0)
 
 
 def main():
