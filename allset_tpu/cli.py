@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--display_step", type=int, default=-1)
     p.add_argument("--no_vmap_runs", action="store_true",
                    help="run statistical replicas sequentially (low-memory)")
+    p.add_argument("--vmap_chunk", type=int, default=None,
+                   help="vmapped runs per device pass (default all; halves "
+                        "automatically on HBM exhaustion)")
+    p.add_argument("--epoch_chunk", type=int, default=None,
+                   help="epochs per device call (default auto: bounded "
+                        "executions for large graphs)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward activations in the backward "
                         "(jax.checkpoint): bigger graphs per chip")
@@ -153,6 +159,7 @@ def main(argv=None) -> int:
             epochs=cfg.epochs, runs=cfg.runs, lr=cfg.lr, wd=cfg.wd,
             train_prop=cfg.train_prop, valid_prop=cfg.valid_prop,
             vmap_runs=not args.no_vmap_runs, seed=cfg.seed,
+            vmap_chunk=args.vmap_chunk, epoch_chunk=args.epoch_chunk,
             remat=args.remat,
         ),
         tx=tx,

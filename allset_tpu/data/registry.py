@@ -93,6 +93,13 @@ def load_dataset(
     (the raw archive is absent from this mount)."""
     if name.startswith("synthetic"):
         noise = feature_noise if feature_noise is not None else 1.0
+        if name == "synthetic-walmart":
+            # walmart-trips-100's published shape: power-law degrees,
+            # 100-dim one-hot+noise features — the Table-2 protocol's
+            # hard case, runnable without the raw archive
+            from allset_tpu.data.synthetic import cornell_like_hypergraph
+
+            return cornell_like_hypergraph(feature_noise=noise, seed=seed)
         big = name.endswith("large")
         data = synthetic_hypergraph(
             num_nodes=20000 if big else 500,

@@ -349,7 +349,9 @@ class PMA(nn.Module):
                 Wrff, brff = _MLPParams(HC, self.out_dim,
                                         self.num_layers, name="rFF")()
                 g1, b1 = _LNParams(self.out_dim, name="ln1")()
-                return pma_epilogue(H, 1024, False, agg, att_flat,
+                from allset_tpu.ops.pallas_pma import interpret_mode
+
+                return pma_epilogue(H, 1024, interpret_mode(), agg, att_flat,
                                     g0, b0, Wrff, brff, g1, b1)
 
             denom_h = jnp.maximum(agg[:, HC : HC + H], 1e-16)  # [M, H]

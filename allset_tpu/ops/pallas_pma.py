@@ -43,12 +43,37 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+
+
+def _compiler_params(blk: int, WP: int, HC: int, L: int, itemsize: int):
+    """Raise the scoped-VMEM limit: the backward keeps ~6 f32 [blk, HC]
+    intermediates + the [blk, WP] in/out blocks + [L, HC, HC] weight and
+    accumulator blocks live (f32 at blk=1024 needs ~19 MB vs the 16 MB
+    default — the walmart-scale CLI runs f32)."""
+    need = (
+        6 * blk * HC * 4
+        + 3 * blk * WP * itemsize
+        + 3 * L * HC * HC * 4
+    )
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(max(need * 2, 24 * 2**20), 110 * 2**20)
+    )
 
 LANE = 128
 EPS = 1e-5  # torch/flax LayerNorm default (nn.modules.LN_EPS)
 DEN_FLOOR = 1e-16  # softmax denominator clamp (nn/modules.py PMA)
+
+
+def interpret_mode() -> bool:
+    """ALLSET_PMA_EPILOGUE=interpret forces the fused path in Pallas
+    interpret mode on any backend — CI coverage of the INTEGRATED PMA
+    fused path (tests/test_pallas_pma.py) on the CPU mesh."""
+    import os
+
+    return os.environ.get("ALLSET_PMA_EPILOGUE") == "interpret"
 
 
 def epilogue_active(hid_dim: int, heads: int, num_layers: int,
@@ -57,13 +82,18 @@ def epilogue_active(hid_dim: int, heads: int, num_layers: int,
     single TPU chip for lane-aligned widths and rFF depths 1 or 2 (the
     reference's MLP_num_layers space that keeps out_dim == hid_dim)."""
     plat = jax.devices()[0].platform
-    return (
-        plat in ("tpu", "axon")
-        and jax.device_count() == 1
-        and hid_dim % LANE == 0
+    shapes_ok = (
+        hid_dim % LANE == 0
         and out_dim == hid_dim
         and num_layers in (1, 2)
         and heads >= 1
+    )
+    if interpret_mode():
+        return shapes_ok
+    return (
+        plat in ("tpu", "axon")
+        and jax.device_count() == 1
+        and shapes_ok
     )
 
 
@@ -281,6 +311,9 @@ def _pallas_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk, interpret):
         out_specs=pl.BlockSpec((blk, HC), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M, HC), cdt),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(
+            blk, WP, HC, L, jnp.dtype(cdt).itemsize
+        ),
     )(agg, seed.reshape(1, HC), g0.reshape(1, HC), b0.reshape(1, HC),
       Wrff, brff.reshape(1, L * HC), g1.reshape(1, HC), b1.reshape(1, HC))
     return y
@@ -316,6 +349,9 @@ def _pallas_bwd(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk,
             jax.ShapeDtypeStruct((8, HC), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(
+            blk, WP, HC, L, jnp.dtype(cdt).itemsize
+        ),
     )(agg, gy, seed.reshape(1, HC), g0.reshape(1, HC), b0.reshape(1, HC),
       Wrff, brff.reshape(1, L * HC), g1.reshape(1, HC), b1.reshape(1, HC))
     return dagg, dW, dsmall

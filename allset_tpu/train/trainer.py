@@ -49,6 +49,15 @@ class TrainConfig:
     train_prop: float = 0.5
     valid_prop: float = 0.25
     vmap_runs: bool = True  # parallelize statistical runs on-device
+    # vmapped runs per device pass: None = all at once, halved
+    # automatically on HBM RESOURCE_EXHAUSTED (walmart-scale graphs don't
+    # fit 20 replicas of the activations; the reference runs sequentially)
+    vmap_chunk: Optional[int] = None
+    # epochs per device call: the axon tunnel kills single XLA executions
+    # longer than ~30-45 s ("TPU worker crashed"), so long runs on large
+    # graphs must scan in segments. None = auto from a per-epoch time
+    # estimate targeting ~12 s per call (one call when the whole run fits)
+    epoch_chunk: Optional[int] = None
     eval_every: int = 1  # reference evaluates every epoch (train.py:486)
     seed: int = 0
     # rematerialize the forward in the backward pass (jax.checkpoint):
@@ -163,31 +172,34 @@ class Trainer:
             ]
         )
 
-    def _run(self, rng: Array, masks, batch):
-        """One full run: init + scan over epochs. Returns [epochs, 6].
+    def _run_init(self, rng: Array, batch):
+        """Per-run setup: parameter init + the dropout key stream root."""
+        init_rng, drop_rng = jax.random.split(rng)
+        carry = self._init(init_rng, batch)
+        return carry, drop_rng
 
-        ``batch`` is threaded as an argument (NOT closed over): closure
-        device arrays bake into the HLO as constants, which blows the
-        axon tunnel's remote-compile request limit at large graph sizes.
+    def _run_segment(self, carry, prev_m, seg_rngs, seg_ids, masks, batch):
+        """Scan a SEGMENT of epochs (the axon tunnel kills executions
+        longer than ~30-45 s, so long runs split into several device
+        calls; one segment spanning all epochs == the old single-call
+        program). Returns (carry, last_metrics, metrics [E, 6]).
 
         ``eval_every > 1`` skips the evaluation forward on off epochs
         (lax.cond; skipped rows repeat the last evaluated metrics, so
         best-valid-epoch selection still works on the [epochs, 6] grid);
         the default 1 evaluates every epoch like the reference
         (train.py:486) with no cond overhead."""
-        init_rng, drop_rng = jax.random.split(rng)
-        carry = self._init(init_rng, batch)
-        epoch_rngs = jax.random.split(drop_rng, self.cfg.epochs)
         k = max(1, self.cfg.eval_every)
         epochs = self.cfg.epochs
 
         if k == 1:
-            def step(c, r):
+            def step(c, inp):
+                r, _ = inp
                 c, loss = self._epoch(batch, c, r, masks)
                 return c, self._eval(batch, c[0], c[1], masks, loss)
 
-            final, metrics = jax.lax.scan(step, carry, epoch_rngs)
-            return metrics, final[0]
+            carry, metrics = jax.lax.scan(step, carry, (seg_rngs, seg_ids))
+            return carry, metrics[-1], metrics
 
         def step(c, inp):
             r, ep = inp
@@ -200,13 +212,126 @@ class Trainer:
             )
             return (inner, m), m
 
-        (final, _), metrics = jax.lax.scan(
-            step, (carry, jnp.zeros((6,), jnp.float32)),
-            (epoch_rngs, jnp.arange(epochs)),
+        (carry, prev_m), metrics = jax.lax.scan(
+            step, (carry, prev_m), (seg_rngs, seg_ids)
         )
-        return metrics, final[0]
+        return carry, prev_m, metrics
+
+    def _run(self, rng: Array, masks, batch):
+        """One full run as ONE device call: init + scan over all epochs.
+        Returns ([epochs, 6], params).
+
+        ``batch`` is threaded as an argument (NOT closed over): closure
+        device arrays bake into the HLO as constants, which blows the
+        axon tunnel's remote-compile request limit at large graph sizes."""
+        carry, drop_rng = self._run_init(rng, batch)
+        epochs = self.cfg.epochs
+        epoch_rngs = jax.random.split(drop_rng, epochs)
+        carry, _, metrics = self._run_segment(
+            carry, jnp.zeros((6,), jnp.float32), epoch_rngs,
+            jnp.arange(epochs), masks, batch,
+        )
+        return metrics, carry[0]
 
     # --- host orchestration ---
+
+    def _initial_chunk(self) -> int:
+        """Conservative vmapped-runs group size from a live-set estimate:
+        ~3 packed [nnz, W] exchange tables + ~4 [rows, hidden] activation
+        tables per run against a 12 GiB budget (16 GiB v5e HBM). A hard
+        OOM through the axon tunnel can wedge the device, so guessing low
+        beats try-and-halve; the halving loop remains as the net."""
+        cfg = self.cfg
+        if cfg.vmap_chunk:
+            return cfg.vmap_chunk
+        inc = getattr(self.batch, "inc", None)
+        if inc is None:
+            return cfg.runs
+        mcfg = getattr(self.model, "cfg", None)
+        item = 2 if getattr(mcfg, "dtype", None) == "bfloat16" else 4
+        hid = getattr(mcfg, "mlp_hidden", 256) or 256
+        W = max(hid + 128, 384)  # lane-padded packed width
+        rows = inc.num_nodes + inc.num_edges
+        per_run = 3 * inc.nnz * W * item + 4 * rows * hid * item
+        budget = 12 * 2**30
+        return max(1, min(cfg.runs, int(budget // max(per_run, 1))))
+
+    # measured on v5e through the axon tunnel: walmart-scale f32, group
+    # of 3 vmapped runs ≈ 0.19 s/epoch over 470K entries
+    _EPOCH_S_PER_RUN_NNZ = 1.5e-7
+    _CALL_BUDGET_S = 12.0  # the tunnel kills executions beyond ~30-45 s
+
+    def _epoch_chunk(self, group: int) -> int:
+        cfg = self.cfg
+        if cfg.epoch_chunk:
+            return cfg.epoch_chunk
+        nnz = getattr(getattr(self.batch, "inc", None), "nnz", 0) or 0
+        est = self._EPOCH_S_PER_RUN_NNZ * max(nnz, 1) * max(group, 1)
+        return max(1, min(cfg.epochs, int(self._CALL_BUDGET_S / est)))
+
+    def _run_group_segmented(self, rngs_g, masks_g, echunk: int):
+        """One vmapped group, scanned in epoch segments of ``echunk`` —
+        several bounded device calls instead of one long execution.
+        Identical math to the single-call path (same per-epoch rng
+        stream, same step function)."""
+        epochs = self.cfg.epochs
+        if not hasattr(self, "_seg_fns"):
+            self._seg_fns = (
+                jax.jit(jax.vmap(self._run_init, in_axes=(0, None))),
+                jax.jit(jax.vmap(
+                    lambda r: jax.random.split(r, epochs)
+                )),
+                jax.jit(jax.vmap(
+                    self._run_segment, in_axes=(0, 0, 0, None, 0, None)
+                )),
+            )
+        init_fn, split_fn, seg_fn = self._seg_fns
+        carry, drop = init_fn(rngs_g, self.batch)
+        ep_rngs = split_fn(drop)  # [g, epochs, key]
+        prev = jnp.zeros((rngs_g.shape[0], 6), jnp.float32)
+        ids = jnp.arange(epochs)
+        mets = []
+        for lo in range(0, epochs, echunk):
+            hi = min(lo + echunk, epochs)
+            carry, prev, m = seg_fn(
+                carry, prev, ep_rngs[:, lo:hi], ids[lo:hi], masks_g,
+                self.batch,
+            )
+            mets.append(m)
+        return jnp.concatenate(mets, axis=1), carry[0]
+
+    def _fit_chunked(self, run_fn, rngs, masks, chunk: int):
+        """Run the vmapped protocol in groups of ``chunk`` runs (and, for
+        large graphs, epoch segments within each group); group results
+        concatenate along the runs axis — identical to one full vmap
+        (runs are independent)."""
+        runs = self.cfg.runs
+        echunk = self._epoch_chunk(min(chunk, runs))
+        if echunk < self.cfg.epochs:
+            print(f"[trainer] scanning epochs in segments of {echunk} "
+                  f"(device-call time budget)")
+        if chunk >= runs and echunk >= self.cfg.epochs:
+            return run_fn(rngs, masks, self.batch)
+        mets, ps = [], []
+        for lo in range(0, runs, chunk):
+            hi = min(lo + chunk, runs)
+            sl = lambda a: a[lo:hi]
+            g_rngs = sl(rngs)
+            g_masks = jax.tree_util.tree_map(sl, masks)
+            if echunk >= self.cfg.epochs:
+                m, p = run_fn(g_rngs, g_masks, self.batch)
+            else:
+                m, p = self._run_group_segmented(g_rngs, g_masks, echunk)
+            # block per group so an OOM raises here (retryable) and the
+            # groups don't queue unboundedly
+            jax.block_until_ready(m)
+            mets.append(m)
+            ps.append(p)
+        metrics = jnp.concatenate(mets, axis=0)
+        params = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *ps
+        )
+        return metrics, params
 
     def fit(self, verbose: bool = False) -> "Results":
         cfg = self.cfg
@@ -230,7 +355,28 @@ class Trainer:
             # gather/reduce (ops/fold.py batching rules): the vmapped
             # protocol rides the same Pallas kernel as a single run
             run_fn = jax.jit(jax.vmap(self._run, in_axes=(0, 0, None)))
-            metrics, params = run_fn(rngs, masks, self.batch)
+            chunk = self._initial_chunk()
+            if chunk < cfg.runs:
+                print(f"[trainer] vmapping runs in groups of {chunk} "
+                      f"(activation-memory estimate)")
+            while True:
+                try:
+                    metrics, params = self._fit_chunked(
+                        run_fn, rngs, masks, chunk
+                    )
+                    break
+                except Exception as e:  # jaxlib XlaRuntimeError
+                    oom = ("RESOURCE_EXHAUSTED" in str(e)
+                           or "Out of memory" in str(e)
+                           or "Allocation type: HLO temp" in str(e))
+                    if oom and chunk > 1:
+                        chunk = (chunk + 1) // 2
+                        print(
+                            f"[trainer] HBM exhausted; retrying with "
+                            f"{chunk} vmapped runs per pass"
+                        )
+                    else:
+                        raise
             metrics = np.asarray(metrics)  # [runs, epochs, 6]
         else:
             run_fn = jax.jit(self._run)

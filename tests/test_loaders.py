@@ -144,3 +144,30 @@ def test_registry_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(hd.edge, hd2.edge)
     assert hd.num_nodes == hd2.num_nodes
     assert hd.num_hyperedges == hd2.num_hyperedges
+
+
+def test_cornell_like_hypergraph():
+    """Walmart-shaped synthetic (power-law + planted classes + cornell
+    features) — the Table-2 protocol stand-in (registry 'synthetic-walmart')."""
+    from allset_tpu.data.synthetic import cornell_like_hypergraph
+
+    hd = cornell_like_hypergraph(
+        num_nodes=800, num_hyperedges=600, num_classes=5, feature_dim=50,
+        feature_noise=0.5, seed=3,
+    )
+    assert hd.x.shape == (800, 50)
+    assert hd.num_hyperedges == 600
+    deg = np.bincount(hd.node, minlength=800)
+    assert deg.max() > 10 * max(1, np.median(deg[deg > 0]))  # power-law skew
+    # planted structure: a hyperedge's members should over-represent one
+    # class vs the global rate
+    import collections
+
+    hits = 0
+    for e in range(50):
+        mem = hd.node[hd.edge == e]
+        if len(mem) < 3:
+            continue
+        top = collections.Counter(hd.y[mem]).most_common(1)[0][1]
+        hits += top / len(mem) > 1.5 / 5
+    assert hits > 25

@@ -145,3 +145,55 @@ def test_epilogue_vmap_batches():
         np.testing.assert_allclose(
             np.asarray(gb[1][r]), np.asarray(g1r[1]), atol=1e-5, rtol=1e-4
         )
+
+
+def test_setgnn_fused_epilogue_integration(monkeypatch):
+    """The INTEGRATED PMA fused path (interpret mode) must match the
+    module composition: same params (skeletons), close outputs/grads."""
+    import numpy as np
+
+    from allset_tpu.data.synthetic import synthetic_hypergraph
+    from allset_tpu.graph import add_self_loops, norm_construction
+    from allset_tpu.graph.batch import Batch
+    from allset_tpu.models import SetGNN, SetGNNConfig
+
+    hd = synthetic_hypergraph(num_nodes=260, num_hyperedges=150, seed=1)
+    hd = norm_construction(add_self_loops(hd), "all_one")
+    batch = Batch.from_hyperdata(hd, bucket=64)
+    cfg = SetGNNConfig(
+        num_features=hd.num_features, num_classes=4, all_num_layers=1,
+        mlp_hidden=256, classifier_hidden=64, classifier_num_layers=1,
+        heads=4, dropout=0.0,
+    )
+    model = SetGNN(cfg)
+
+    def logits_and_grads(p):
+        def loss(p):
+            return jnp.mean(model.apply({"params": p}, batch, False) ** 2)
+
+        return model.apply({"params": p}, batch, False), jax.grad(loss)(p)
+
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch, False)["params"]
+    y_ref, g_ref = logits_and_grads(params)
+
+    monkeypatch.setenv("ALLSET_PMA_EPILOGUE", "interpret")
+    params2 = model.init({"params": jax.random.PRNGKey(0)}, batch, False)["params"]
+    # identical parameter trees (the skeleton modules must not drift)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    y_fus, g_fus = logits_and_grads(params)
+    np.testing.assert_allclose(
+        np.asarray(y_fus), np.asarray(y_ref), atol=2e-4, rtol=2e-4
+    )
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_fus),
+        jax.tree_util.tree_leaves_with_path(g_ref),
+    ):
+        assert str(ka) == str(kb)
+        scale = max(float(jnp.abs(b).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale,
+            atol=5e-4, err_msg=str(ka),
+        )

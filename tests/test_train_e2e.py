@@ -135,3 +135,59 @@ def test_remat_matches_no_remat():
         ).fit()
         res.append(r.metrics)
     np.testing.assert_allclose(res[0], res[1], rtol=1e-4, atol=1e-5)
+
+
+def test_vmap_chunked_matches_full():
+    """vmap_chunk groups must reproduce the full-vmap protocol exactly
+    (runs are independent; concat along the runs axis)."""
+    import numpy as np
+
+    from allset_tpu.data.registry import load_dataset
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+    from allset_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = ExperimentConfig(dname="synthetic", method="AllSetTransformer",
+                           epochs=5, runs=4, mlp_hidden=32)
+    data = load_dataset("synthetic", feature_noise=1.0)
+    model, batch, _ = prepare(cfg, data)
+    tcfg_kw = dict(epochs=5, runs=4, train_prop=0.5, valid_prop=0.25, seed=0)
+
+    r_full = Trainer(model, batch, TrainConfig(**tcfg_kw)).fit()
+    r_chunk = Trainer(
+        model, batch, TrainConfig(vmap_chunk=3, **tcfg_kw)
+    ).fit()
+    # the runs-fold width (R*F vs chunk*F) changes f32 accumulation
+    # order, so losses match to ~1e-3 relative; accuracies must be equal
+    np.testing.assert_array_equal(
+        r_full.metrics[..., :3], r_chunk.metrics[..., :3]
+    )
+    np.testing.assert_allclose(
+        r_full.metrics[..., 3:], r_chunk.metrics[..., 3:], rtol=2e-3
+    )
+
+
+def test_epoch_segmented_matches_single_call():
+    """Epoch-segmented execution (tunnel device-call budget) must be
+    bit-identical to the one-call scan: same rng stream, same step fn."""
+    import numpy as np
+
+    from allset_tpu.data.registry import load_dataset
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+    from allset_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = ExperimentConfig(dname="synthetic", method="AllSetTransformer",
+                           epochs=7, runs=2, mlp_hidden=32)
+    data = load_dataset("synthetic", feature_noise=1.0)
+    model, batch, _ = prepare(cfg, data)
+    kw = dict(epochs=7, runs=2, seed=0)
+
+    r_one = Trainer(model, batch, TrainConfig(**kw)).fit()
+    r_seg = Trainer(model, batch, TrainConfig(epoch_chunk=3, **kw)).fit()
+    np.testing.assert_array_equal(r_one.metrics, r_seg.metrics)
+
+    # eval_every > 1 carries the last metrics across segment boundaries
+    r_one = Trainer(model, batch, TrainConfig(eval_every=2, **kw)).fit()
+    r_seg = Trainer(
+        model, batch, TrainConfig(eval_every=2, epoch_chunk=3, **kw)
+    ).fit()
+    np.testing.assert_array_equal(r_one.metrics, r_seg.metrics)
