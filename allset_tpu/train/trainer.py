@@ -269,36 +269,52 @@ class Trainer:
         est = self._EPOCH_S_PER_RUN_NNZ * max(nnz, 1) * max(group, 1)
         return max(1, min(cfg.epochs, int(self._CALL_BUDGET_S / est)))
 
-    def _run_group_segmented(self, rngs_g, masks_g, echunk: int):
-        """One vmapped group, scanned in epoch segments of ``echunk`` —
-        several bounded device calls instead of one long execution.
-        Identical math to the single-call path (same per-epoch rng
-        stream, same step function)."""
+    def _seg_fns(self, vmapped: bool):
+        """Jitted (init, rng-split, segment) triple, cached per mode."""
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            cache = self._seg_cache = {}
+        if vmapped not in cache:
+            epochs = self.cfg.epochs
+            split = lambda r: jax.random.split(r, epochs)
+            if vmapped:
+                cache[vmapped] = (
+                    jax.jit(jax.vmap(self._run_init, in_axes=(0, None))),
+                    jax.jit(jax.vmap(split)),
+                    jax.jit(jax.vmap(
+                        self._run_segment, in_axes=(0, 0, 0, None, 0, None)
+                    )),
+                )
+            else:
+                cache[vmapped] = (
+                    jax.jit(self._run_init),
+                    jax.jit(split),
+                    jax.jit(self._run_segment),
+                )
+        return cache[vmapped]
+
+    def _run_segmented(self, rngs_g, masks_g, echunk: int, vmapped: bool):
+        """One run (or vmapped group of runs), scanned in epoch segments
+        of ``echunk`` — several bounded device calls instead of one long
+        execution. Identical math to the single-call path (same per-epoch
+        rng stream, same step function)."""
         epochs = self.cfg.epochs
-        if not hasattr(self, "_seg_fns"):
-            self._seg_fns = (
-                jax.jit(jax.vmap(self._run_init, in_axes=(0, None))),
-                jax.jit(jax.vmap(
-                    lambda r: jax.random.split(r, epochs)
-                )),
-                jax.jit(jax.vmap(
-                    self._run_segment, in_axes=(0, 0, 0, None, 0, None)
-                )),
-            )
-        init_fn, split_fn, seg_fn = self._seg_fns
+        init_fn, split_fn, seg_fn = self._seg_fns(vmapped)
         carry, drop = init_fn(rngs_g, self.batch)
-        ep_rngs = split_fn(drop)  # [g, epochs, key]
-        prev = jnp.zeros((rngs_g.shape[0], 6), jnp.float32)
+        ep_rngs = split_fn(drop)  # [(g,) epochs, key]
+        lead = (rngs_g.shape[0],) if vmapped else ()
+        prev = jnp.zeros(lead + (6,), jnp.float32)
         ids = jnp.arange(epochs)
+        e_ax = 1 if vmapped else 0
         mets = []
         for lo in range(0, epochs, echunk):
             hi = min(lo + echunk, epochs)
+            seg = jax.lax.slice_in_dim(ep_rngs, lo, hi, axis=e_ax)
             carry, prev, m = seg_fn(
-                carry, prev, ep_rngs[:, lo:hi], ids[lo:hi], masks_g,
-                self.batch,
+                carry, prev, seg, ids[lo:hi], masks_g, self.batch
             )
             mets.append(m)
-        return jnp.concatenate(mets, axis=1), carry[0]
+        return jnp.concatenate(mets, axis=e_ax), carry[0]
 
     def _fit_chunked(self, run_fn, rngs, masks, chunk: int):
         """Run the vmapped protocol in groups of ``chunk`` runs (and, for
@@ -321,7 +337,7 @@ class Trainer:
             if echunk >= self.cfg.epochs:
                 m, p = run_fn(g_rngs, g_masks, self.batch)
             else:
-                m, p = self._run_group_segmented(g_rngs, g_masks, echunk)
+                m, p = self._run_segmented(g_rngs, g_masks, echunk, True)
             # block per group so an OOM raises here (retryable) and the
             # groups don't queue unboundedly
             jax.block_until_ready(m)
@@ -380,13 +396,20 @@ class Trainer:
             metrics = np.asarray(metrics)  # [runs, epochs, 6]
         else:
             run_fn = jax.jit(self._run)
+            echunk = self._epoch_chunk(1)
+            if echunk < cfg.epochs:
+                print(f"[trainer] scanning epochs in segments of {echunk} "
+                      f"(device-call time budget)")
             outs = []
             params = None
             for r in range(cfg.runs):
-                m, params = run_fn(
-                    rngs[r], jax.tree_util.tree_map(lambda a: a[r], masks),
-                    self.batch,
-                )
+                masks_r = jax.tree_util.tree_map(lambda a: a[r], masks)
+                if echunk >= cfg.epochs:
+                    m, params = run_fn(rngs[r], masks_r, self.batch)
+                else:
+                    m, params = self._run_segmented(
+                        rngs[r], masks_r, echunk, False
+                    )
                 outs.append(np.asarray(m))
             metrics = np.stack(outs)
         jax.block_until_ready(jax.tree_util.tree_leaves(params)[0] if params is not None else metrics)

@@ -191,3 +191,21 @@ def test_epoch_segmented_matches_single_call():
         model, batch, TrainConfig(eval_every=2, epoch_chunk=3, **kw)
     ).fit()
     np.testing.assert_array_equal(r_one.metrics, r_seg.metrics)
+
+
+def test_epoch_segmented_sequential_matches():
+    """Sequential (no-vmap) runs segment identically too."""
+    import numpy as np
+
+    from allset_tpu.data.registry import load_dataset
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+    from allset_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = ExperimentConfig(dname="synthetic", method="AllSetTransformer",
+                           epochs=6, runs=2, mlp_hidden=32)
+    data = load_dataset("synthetic", feature_noise=1.0)
+    model, batch, _ = prepare(cfg, data)
+    kw = dict(epochs=6, runs=2, seed=0, vmap_runs=False)
+    r_one = Trainer(model, batch, TrainConfig(**kw)).fit()
+    r_seg = Trainer(model, batch, TrainConfig(epoch_chunk=4, **kw)).fit()
+    np.testing.assert_array_equal(r_one.metrics, r_seg.metrics)
