@@ -41,12 +41,10 @@ def _head_expand(a: Array, C: int) -> Array:
     materializes [rows, H, C] 3-D layouts (~0.6 ms/step at bench shapes);
     the tiny-contraction GEMM streams at full rate and its transpose is
     another GEMM instead of a 3-D reduce."""
+    from allset_tpu.ops.pallas_pma import _expand_mat  # single P builder
+
     H = a.shape[1]
-    P = (
-        jax.lax.broadcasted_iota(jnp.int32, (H, H * C), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (H, H * C), 1) // C
-    ).astype(a.dtype)
-    return a @ P
+    return a @ _expand_mat(H, H * C).astype(a.dtype)
 
 
 def _colmax(a: Array) -> Array:

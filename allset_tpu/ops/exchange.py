@@ -426,7 +426,17 @@ def dir_spmm(
         # Trainer.fit (shard_map has no runs-folding batching rule)
         from allset_tpu.parallel.sharded import sharded_spmm
 
-        traced = getattr(d, "norm_canon", None)  # LearnMask: canonical order
+        # LearnMask: the traced norm travels on the Direction in canonical
+        # order (per-shard norms are baked arrays). It applies ONLY when
+        # the caller asked for a weighted reduce — PMA's attention
+        # aggregation passes norm=None and must stay unweighted.
+        traced = getattr(d, "norm_canon", None) if norm is not None else None
+        if norm is not None and norm_grad and traced is None:
+            raise NotImplementedError(
+                "norm gradients through a ShardedDirection require the "
+                "traced norm on d.norm_canon (set by ShardedExchange); "
+                "refusing to silently drop the gradient"
+            )
         out = sharded_spmm(
             w, d,
             use_norm=norm is not None and traced is None,

@@ -172,8 +172,15 @@ def _segsum_batch(args, dims, *, num_seg, num_seg_padded, s_blk, chunk,
     if not (_not_mapped(bi) and _not_mapped(bp)):
         # batched segment structure (different graphs per lane): plain
         # per-lane XLA reduce — correctness fallback, not a hot path.
+        # (indptr is unused here; a batched-indptr-only case broadcasts
+        # the shared ids across lanes.)
         mm = jnp.moveaxis(msgs, bm, 0) if not _not_mapped(bm) else msgs
-        ii = jnp.moveaxis(ids, bi, 0)
+        if _not_mapped(bi):
+            ii = jnp.broadcast_to(
+                ids, (indptr.shape[bp],) + ids.shape
+            )
+        else:
+            ii = jnp.moveaxis(ids, bi, 0)
         f = lambda m, i: jax.ops.segment_sum(
             m.astype(jnp.float32), i, num_segments=num_seg,
             indices_are_sorted=True,

@@ -79,6 +79,12 @@ def torch_adam(lr: float, wd: float) -> optax.GradientTransformation:
     return optax.flatten(optax.chain(*parts))
 
 
+def _is_oom(e: Exception) -> bool:
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "Allocation type: HLO temp" in s)
+
+
 def masked_nll(logits: Array, y: Array, mask: Array) -> Array:
     """mean NLL(log_softmax(logits)) over mask — criterion of train.py:450,480.
 
@@ -329,20 +335,32 @@ class Trainer:
         if chunk >= runs and echunk >= self.cfg.epochs:
             return run_fn(rngs, masks, self.batch)
         mets, ps = [], []
-        for lo in range(0, runs, chunk):
+        lo = 0
+        while lo < runs:
             hi = min(lo + chunk, runs)
             sl = lambda a: a[lo:hi]
             g_rngs = sl(rngs)
             g_masks = jax.tree_util.tree_map(sl, masks)
-            if echunk >= self.cfg.epochs:
-                m, p = run_fn(g_rngs, g_masks, self.batch)
-            else:
-                m, p = self._run_segmented(g_rngs, g_masks, echunk, True)
-            # block per group so an OOM raises here (retryable) and the
-            # groups don't queue unboundedly
-            jax.block_until_ready(m)
+            try:
+                if echunk >= self.cfg.epochs:
+                    m, p = run_fn(g_rngs, g_masks, self.batch)
+                else:
+                    m, p = self._run_segmented(g_rngs, g_masks, echunk, True)
+                # block per group so an OOM raises here (retryable) and
+                # the groups don't queue unboundedly
+                jax.block_until_ready(m)
+            except Exception as e:
+                # an HBM OOM in group k must not re-run the k-1 finished
+                # groups: halve the group size and retry THIS group only
+                if _is_oom(e) and chunk > 1:
+                    chunk = (chunk + 1) // 2
+                    print(f"[trainer] HBM exhausted; retrying with "
+                          f"{chunk} vmapped runs per pass")
+                    continue
+                raise
             mets.append(m)
             ps.append(p)
+            lo = hi
         metrics = jnp.concatenate(mets, axis=0)
         params = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *ps
@@ -382,10 +400,10 @@ class Trainer:
                     )
                     break
                 except Exception as e:  # jaxlib XlaRuntimeError
-                    oom = ("RESOURCE_EXHAUSTED" in str(e)
-                           or "Out of memory" in str(e)
-                           or "Allocation type: HLO temp" in str(e))
-                    if oom and chunk > 1:
+                    # single-full-vmap OOM (chunk == runs): drop into
+                    # grouped mode; per-group OOMs retry inside
+                    # _fit_chunked without re-running finished groups
+                    if _is_oom(e) and chunk > 1:
                         chunk = (chunk + 1) // 2
                         print(
                             f"[trainer] HBM exhausted; retrying with "

@@ -332,3 +332,57 @@ def test_sharded_max_matches_single_device(rng, use_norm):
         np.testing.assert_allclose(
             np.asarray(g_sh), np.asarray(g_ref), rtol=1e-4, atol=1e-5
         )
+
+
+def test_sharded_learnmask_pma_matches(rng):
+    """AllSetTransformer (PMA) + LearnMask over the shard_map exchange:
+    PMA's attention aggregation is UNWEIGHTED (the reference's PMA never
+    reads norm, src/layers.py:128-157) — the traced importance norm must
+    not leak into it on the sharded path (code-review r2 finding:
+    dir_spmm applied norm_canon even for norm=None callers, a 0.21
+    forward divergence)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from allset_tpu.graph.batch import Batch
+    from allset_tpu.graph.transforms import (
+        HyperData, add_self_loops, coalesce, norm_construction,
+    )
+    from allset_tpu.models import SetGNN, SetGNNConfig
+    from allset_tpu.parallel.sharded import ShardedExchange
+
+    n, m, nnz = 48, 20, 220
+    node = rng.integers(0, n, size=nnz)
+    edge = rng.integers(0, m, size=nnz)
+    node, edge = coalesce(node, edge)
+    hd = HyperData(
+        x=rng.normal(size=(n, 16)).astype(np.float32),
+        y=rng.integers(0, 4, size=n), node=node, edge=edge,
+        num_nodes=n, num_hyperedges=m,
+    )
+    hd = norm_construction(add_self_loops(hd), "all_one")
+    batch = Batch.from_hyperdata(hd, bucket=128)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(batch.inc, mesh, split=False).shard()
+    batch_sh = dataclasses.replace(batch, shex=shex)
+
+    cfg = SetGNNConfig(
+        num_features=16, num_classes=4, all_num_layers=1,
+        mlp_hidden=32, classifier_hidden=32, classifier_num_layers=1,
+        heads=2, dropout=0.0, learn_mask=True,
+    )
+    model = SetGNN(cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+    # non-trivial importance so a leak into PMA would change the forward
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    v["params"]["importance"] = 1.0 + 0.5 * jnp.asarray(
+        rng.normal(size=v["params"]["importance"].shape), jnp.float32
+    )
+
+    out_pl = model.apply(v, batch, False)
+    out_sh = model.apply(v, batch_sh, False)
+    np.testing.assert_allclose(
+        np.asarray(out_sh), np.asarray(out_pl), rtol=1e-4, atol=1e-5
+    )
