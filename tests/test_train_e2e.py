@@ -209,3 +209,53 @@ def test_epoch_segmented_sequential_matches():
     r_one = Trainer(model, batch, TrainConfig(**kw)).fit()
     r_seg = Trainer(model, batch, TrainConfig(epoch_chunk=4, **kw)).fit()
     np.testing.assert_array_equal(r_one.metrics, r_seg.metrics)
+
+
+def test_fit_chunked_oom_retry_keeps_finished_groups():
+    """An OOM in group k halves the chunk and retries THAT group —
+    finished groups are not re-run (code-review r2 finding)."""
+    import numpy as np
+
+    from allset_tpu.data.registry import load_dataset
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+    from allset_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = ExperimentConfig(dname="synthetic", method="AllSetTransformer",
+                           epochs=3, runs=6, mlp_hidden=16)
+    data = load_dataset("synthetic", feature_noise=1.0)
+    model, batch, _ = prepare(cfg, data)
+    tr = Trainer(model, batch, TrainConfig(epochs=3, runs=6, vmap_chunk=4,
+                                           seed=0))
+
+    import jax
+
+    real_fn = jax.jit(jax.vmap(tr._run, in_axes=(0, 0, None)))
+    calls = []
+
+    def flaky_fn(rngs, masks, b):
+        calls.append(int(rngs.shape[0]))
+        if len(calls) == 2:  # second group OOMs once
+            raise RuntimeError("RESOURCE_EXHAUSTED: fake HBM OOM")
+        return real_fn(rngs, masks, b)
+
+    y = np.asarray(batch.y)
+    rng = np.random.default_rng(0)
+    from allset_tpu.graph.batch import split_masks
+    from allset_tpu.graph.transforms import rand_train_test_idx
+
+    import jax.numpy as jnp
+
+    masks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[split_masks(rand_train_test_idx(y, 0.5, 0.25, rng=rng),
+                      batch.num_nodes) for _ in range(6)],
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(0), 6)
+    metrics, params = tr._fit_chunked(flaky_fn, rngs, masks, 4)
+    # group1 (4 runs), group2 OOM, retried at 2, then 2 more passes
+    assert calls == [4, 2, 2], calls
+    assert metrics.shape[0] == 6
+    ref, _ = tr._fit_chunked(real_fn, rngs, masks, 6)
+    np.testing.assert_array_equal(
+        np.asarray(metrics[..., :3]), np.asarray(ref[..., :3])
+    )
