@@ -18,6 +18,13 @@ import os
 import os.path as osp
 
 
+def _boolarg(s: str) -> bool:
+    """argparse type=bool is a trap (bool("False") is True); accept the
+    usual spellings. The reference can't disable these flags at all
+    (store_true with set_defaults(True), train.py:264,285)."""
+    return str(s).lower() in ("1", "true", "yes", "y", "t")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="allset_tpu experiment driver")
     p.add_argument("--train_prop", type=float, default=0.5)
@@ -38,18 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--normtype", default="all_one", choices=["all_one", "deg_half_sym"])
     p.add_argument("--add_self_loop", action="store_false")
     p.add_argument("--normalization", default="ln", choices=["bn", "ln", "None"])
-    p.add_argument("--deepset_input_norm", default=True, type=bool)
+    p.add_argument("--deepset_input_norm", default=True, type=_boolarg)
     p.add_argument("--GPR", action="store_true")
     p.add_argument("--LearnMask", action="store_true")
     p.add_argument("--feature_noise", default="1", type=str)
     p.add_argument("--exclude_self", action="store_true")
     p.add_argument("--heads", default=1, type=int)
     p.add_argument("--output_heads", default=1, type=int)
-    p.add_argument("--HyperGCN_mediators", default=True, type=bool)
-    p.add_argument("--HyperGCN_fast", default=True, type=bool)
+    p.add_argument("--HyperGCN_mediators", default=True, type=_boolarg)
+    p.add_argument("--HyperGCN_fast", default=True, type=_boolarg)
     p.add_argument("--HNHN_alpha", default=-1.5, type=float)
     p.add_argument("--HNHN_beta", default=-0.5, type=float)
-    p.add_argument("--HNHN_nonlinear_inbetween", default=True, type=bool)
+    p.add_argument("--HNHN_nonlinear_inbetween", default=True, type=_boolarg)
     p.add_argument("--HCHA_symdegnorm", action="store_true")
     p.add_argument("--UniGNN_use_norm", action="store_true")
     p.add_argument("--UniGNN_model_name", default="UniGCN")

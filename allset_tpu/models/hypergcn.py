@@ -203,6 +203,10 @@ class HyperGCNReapprox(nn.Module):
     into a statically padded COO (``laplacian_nnz_bound``); inherently a
     host-side perf cliff, kept for capability parity — the factory defaults
     to the fast path as the reference does (``src/train.py:285``).
+
+    Runtime support: works on CPU and standard TPU runtimes; the axon
+    PJRT tunnel rejects host callbacks outright (UNIMPLEMENTED
+    "does not support host send/recv callbacks").
     """
 
     cfg: HyperGCNConfig
