@@ -32,6 +32,12 @@ ALLSET_TRANSFORMER_PRESETS: Dict[str, dict] = {
     "walmart-trips-100": dict(
         heads=8, mlp_hidden=256, classifier_hidden=128, feature_noise=1.0
     ),
+    # walmart-shaped synthetic stand-in (data/synthetic.py): same tuned
+    # row as walmart-trips-100 so `--dname synthetic-walmart --preset`
+    # runs the Table-2 protocol without the raw archive
+    "synthetic-walmart": dict(
+        heads=8, mlp_hidden=256, classifier_hidden=128, feature_noise=1.0
+    ),
     "walmart-trips-100@0.6": dict(
         heads=8, mlp_hidden=256, classifier_hidden=128, feature_noise=0.6
     ),
