@@ -15,7 +15,32 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _parent_retry() -> int:
+    """The axon TPU tunnel intermittently wedges a PROCESS (device ops
+    hang; recovery needs a fresh process — CLAUDE.md env facts). The
+    parent stays jax-free and re-runs itself as a child until a result
+    line appears, so one wedge can't cost the round's bench record."""
+    env = dict(os.environ, BENCH_CHILD="1")
+    for attempt in range(3):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1200,
+            )
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if lines:
+                print(lines[-1])
+                return 0
+            sys.stderr.write(r.stderr[-2000:] + "\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt + 1} timed out "
+                             f"(wedged tunnel?); retrying fresh\n")
+    return 1
 
 import jax
 import jax.numpy as jnp
@@ -146,4 +171,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        raise SystemExit(_parent_retry())
