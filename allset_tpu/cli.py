@@ -167,7 +167,7 @@ def main(argv=None) -> int:
             train_prop=cfg.train_prop, valid_prop=cfg.valid_prop,
             vmap_runs=not args.no_vmap_runs, seed=cfg.seed,
             vmap_chunk=args.vmap_chunk, epoch_chunk=args.epoch_chunk,
-            remat=args.remat,
+            remat=args.remat, display_step=args.display_step,
         ),
         tx=tx,
     )

@@ -313,10 +313,13 @@ def generate_norm_hnhn(
     d_e_beta_inv[~np.isfinite(d_e_beta_inv)] = 0.0
 
     out = data.copy()
+    # isolated rows (degree 0 with a negative power) hit inf; they are
+    # never gathered (no incidence entry references them), so zero them
+    # instead of letting the f32 cast overflow-warn on float64 max
     out.extras.update(
-        D_e_alpha=np.nan_to_num(de_alpha).astype(np.float32),
+        D_e_alpha=np.nan_to_num(de_alpha, posinf=0.0, neginf=0.0).astype(np.float32),
         D_v_alpha_inv=d_v_alpha_inv.astype(np.float32),
-        D_v_beta=np.nan_to_num(dv_beta).astype(np.float32),
+        D_v_beta=np.nan_to_num(dv_beta, posinf=0.0, neginf=0.0).astype(np.float32),
         D_e_beta_inv=d_e_beta_inv.astype(np.float32),
     )
     return out

@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from allset_tpu.graph.batch import Batch
 from allset_tpu.nn.init import glorot_uniform, xavier_uniform_torch_fans
+from allset_tpu.nn.modules import _head_expand
 from allset_tpu.ops import gather_rows, segment_softmax, segment_sum
 
 Array = jax.Array
@@ -87,10 +88,10 @@ class GATConv(nn.Module):
             from allset_tpu.ops.exchange import dir_gather, dir_reduce
 
             d = g.v2e()
-            msg = dir_gather(h, d) * jnp.repeat(alpha, C, axis=1).astype(h.dtype)
+            msg = dir_gather(h, d) * _head_expand(alpha.astype(h.dtype), C)
             out = dir_reduce(msg, d, "add")[: g.num_nodes].astype(h.dtype)
         else:
-            msg = gather_rows(h, g.node) * jnp.repeat(alpha, C, axis=1)
+            msg = gather_rows(h, g.node) * _head_expand(alpha, C)
             out = segment_sum(msg, g.edge, g.num_nodes)
         if not self.concat:
             out = out.reshape(-1, H, C).mean(axis=1)

@@ -25,6 +25,7 @@ from flax import linen as nn
 
 from allset_tpu.graph.batch import Batch
 from allset_tpu.nn.init import glorot_uniform, xavier_uniform_torch_fans
+from allset_tpu.nn.modules import _head_expand
 from allset_tpu.ops import gather_rows, segment_softmax, segment_sum
 
 Array = jax.Array
@@ -99,7 +100,7 @@ class HypergraphConv(nn.Module):
         def prop(h, src, dst, num_seg, norm_dst, sorted_):
             msg = gather_rows(h, src) * gather_rows(norm_dst, dst)[:, None]
             if alpha is not None:
-                msg = msg * jnp.repeat(alpha, F, axis=1)
+                msg = msg * _head_expand(alpha.astype(msg.dtype), F)
             return segment_sum(msg, dst, num_seg, indices_are_sorted=sorted_)
 
         if alpha is None and inc.node_perm is not None:

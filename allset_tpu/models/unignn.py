@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from allset_tpu.graph.batch import Batch
 from allset_tpu.nn.init import xavier_uniform_torch_fans
-from allset_tpu.nn.modules import TorchDense
+from allset_tpu.nn.modules import TorchDense, _head_expand
 from allset_tpu.ops import gather_rows, segment_reduce, segment_softmax, segment_sum
 
 Array = jax.Array
@@ -171,7 +171,7 @@ class UniGATConv(nn.Module):
         alpha = segment_softmax(alpha, inc.node, inc.num_nodes, mask=inc.mask)
         alpha = nn.Dropout(c.attn_drop)(alpha, deterministic=not train)
 
-        xev = gather_rows(xe, inc.edge) * jnp.repeat(alpha, C, axis=1).astype(xe.dtype)
+        xev = gather_rows(xe, inc.edge) * _head_expand(alpha.astype(xe.dtype), C)
         out = segment_sum(xev, inc.node, inc.num_nodes)
         if c.use_norm:
             out = normalize_l2(out)

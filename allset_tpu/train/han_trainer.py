@@ -182,7 +182,6 @@ def train_han_minibatch(model, x_full, y, sampler, cfg: HANSampleConfig,
 
     def evaluate_ids(params, nids, k):
         preds, labels = [], []
-        loss_sum, cnt = 0.0, 0
         for seeds, valid in sampler.batches(nids, cfg.batch_size, shuffle=False):
             blocks = blocks_to_arrays(sampler.sample(seeds, num_neighbors=k))
             pred = np.asarray(infer(params, jnp.asarray(seeds), blocks, x_full))

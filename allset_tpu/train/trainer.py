@@ -59,6 +59,11 @@ class TrainConfig:
     # estimate targeting ~12 s per call (one call when the whole run fits)
     epoch_chunk: Optional[int] = None
     eval_every: int = 1  # reference evaluates every epoch (train.py:486)
+    # per-epoch progress printing gated like the reference
+    # (src/train.py:489-496): print every display_step epochs when > 0.
+    # Runs execute on-device (scan/vmap), so lines print from the metrics
+    # grid once each run's results land on host — same text, not live.
+    display_step: int = -1
     seed: int = 0
     # rematerialize the forward in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for O(activations) memory — lets
@@ -432,12 +437,33 @@ class Trainer:
             metrics = np.stack(outs)
         jax.block_until_ready(jax.tree_util.tree_leaves(params)[0] if params is not None else metrics)
         wall = time.time() - t0
+        if cfg.display_step > 0:
+            self._print_progress(np.asarray(metrics))
 
         return Results(
             metrics=metrics, wall_time=wall,
             num_params=count_params(params, cfg.vmap_runs),
             params=params, params_batched=cfg.vmap_runs,
         )
+
+
+    def _print_progress(self, metrics: np.ndarray) -> None:
+        """Reference-format per-epoch lines (``src/train.py:489-496``),
+        one block per run, every ``display_step`` epochs (epoch 0 prints,
+        matching ``epoch % display_step == 0``)."""
+        step = self.cfg.display_step
+        for run in range(metrics.shape[0]):
+            for epoch in range(0, metrics.shape[1], step):
+                m = metrics[run, epoch]
+                print(
+                    f"Epoch: {epoch:02d}, "
+                    f"Train Loss: {m[3]:.4f}, "
+                    f"Valid Loss: {m[4]:.4f}, "
+                    f"Test  Loss: {m[5]:.4f}, "
+                    f"Train Acc: {100 * m[0]:.2f}%, "
+                    f"Valid Acc: {100 * m[1]:.2f}%, "
+                    f"Test  Acc: {100 * m[2]:.2f}%"
+                )
 
 
 def count_params(params, batched: bool) -> int:

@@ -72,6 +72,7 @@ def test_bucketed_no_norm_and_vmap(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bucketed_setgnn_e2e(rng):
     """Full SetGNN fwd+bwd identical with and without bucket aux (incl.
     the self-loop split composition)."""

@@ -72,6 +72,7 @@ def test_fold_fires_one_wide_gather(rng):
     assert "f32[24,40]" in jaxpr, jaxpr
 
 
+@pytest.mark.slow
 def test_trainer_vmap_matches_sequential(hyperdata):
     """End-to-end: vmapped runs == sequential runs through the full
     SetGNN trainer (same seeds, same splits)."""
@@ -99,6 +100,7 @@ def test_trainer_vmap_matches_sequential(hyperdata):
     np.testing.assert_allclose(res_v.metrics, res_s.metrics, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_eval_every_skips_but_selects(hyperdata):
     """eval_every > 1 repeats the last evaluated metrics row; the final
     epoch always evaluates."""

@@ -1,6 +1,7 @@
 """HAN vertical tests: metapath construction + model + early-stopped
 training (the DGL_HAN pipeline, SURVEY.md §2.2 last row)."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def test_metapath_blocks():
     np.testing.assert_array_equal(got, vev_dense)
 
 
+@pytest.mark.slow
 def test_han_trains_and_learns():
     hd = synthetic_hypergraph(
         num_nodes=100, num_hyperedges=40, num_classes=3,
@@ -69,6 +71,7 @@ def test_early_stopping_rules():
     assert es.restore() == {"w": 3}
 
 
+@pytest.mark.slow
 def test_sampled_han_minibatch():
     """Mini-batch HAN with the random-walk sampler (train_sampling.py)."""
     from allset_tpu.data.sampler import HANNeighborSampler

@@ -22,6 +22,7 @@ LEARN_THRESHOLD["CEGAT"] = 50.0  # GAT on tiny graphs is noisier
 
 
 @pytest.mark.parametrize("method", METHODS)
+@pytest.mark.slow
 def test_method_trains_and_learns(method):
     data = make_data()
     cfg = ExperimentConfig(

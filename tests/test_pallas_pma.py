@@ -100,6 +100,7 @@ def test_epilogue_matches_unfused(dtype, L):
         assert bad.mean() < 1e-3, (name, bad.mean())
 
 
+@pytest.mark.slow
 def test_epilogue_vmap_batches():
     """vmapped runs (batched agg AND params) must match per-run results —
     pallas_call's batching rule + the revisited accumulators per run."""
@@ -147,6 +148,7 @@ def test_epilogue_vmap_batches():
         )
 
 
+@pytest.mark.slow
 def test_setgnn_fused_epilogue_integration(monkeypatch):
     """The INTEGRATED PMA fused path (interpret mode) must match the
     module composition: same params (skeletons), close outputs/grads."""

@@ -13,6 +13,8 @@ from allset_tpu.graph.batch import Batch
 from allset_tpu.models import SetGNN, SetGNNConfig
 from allset_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
+pytestmark = pytest.mark.slow  # e2e / multi-device: see pytest.ini
+
 
 def make_batch(bucket):
     hd = synthetic_hypergraph(num_nodes=96, num_hyperedges=48, seed=3)

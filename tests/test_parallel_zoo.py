@@ -18,6 +18,8 @@ from allset_tpu.data.synthetic import synthetic_hypergraph
 from allset_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from allset_tpu.train.factory import ExperimentConfig, prepare
 
+pytestmark = pytest.mark.slow  # e2e / multi-device: see pytest.ini
+
 # every METHODS entry that consumes an incidence (MLP is structure-free)
 ZOO = (
     "AllSetTransformer",

@@ -16,6 +16,8 @@ from allset_tpu.ops.exchange import dir_spmm
 from allset_tpu.parallel.mesh import make_mesh
 from allset_tpu.parallel.sharded import ShardedExchange, sharded_spmm
 
+pytestmark = pytest.mark.slow  # e2e / multi-device: see pytest.ini
+
 
 @pytest.fixture
 def rng():

@@ -4,6 +4,7 @@ hypergraph (SURVEY.md §4 implication (5))."""
 
 import numpy as np
 
+import pytest
 import jax.numpy as jnp
 
 from allset_tpu.data.synthetic import synthetic_hypergraph
@@ -11,6 +12,8 @@ from allset_tpu.graph import add_self_loops, norm_construction
 from allset_tpu.graph.batch import Batch
 from allset_tpu.models import SetGNN, SetGNNConfig
 from allset_tpu.train import TrainConfig, Trainer
+
+pytestmark = pytest.mark.slow  # e2e / multi-device: see pytest.ini
 
 
 def make_batch(seed=0, noise=0.5):

@@ -91,6 +91,7 @@ def test_verify_real_data_harness(tmp_path, capsys):
     assert "WARN expected" in out
 
 
+@pytest.mark.slow
 def test_verify_real_data_train_smoke(tmp_path, capsys):
     import scripts.verify_real_data as vrd
 
