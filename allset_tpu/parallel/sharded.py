@@ -8,12 +8,20 @@ reduce stays SORTED and routes through the Pallas kernel:
   * the destination id space is cut into ``D`` equal row blocks; each
     shard owns the incidence entries whose dst falls in its block
     (entries are dst-sorted, so a shard's entries are one contiguous
-    slice — segments NEVER straddle shards and the forward needs **no
-    communication at all**: each chip gathers from the replicated source
-    table and sorted-segment-reduces into its own output rows);
+    slice — segments NEVER straddle shards and the exchange itself needs
+    **no input communication**: each chip gathers from the replicated
+    source table and sorted-segment-reduces into its own output rows.
+    The only forward collective is the output reassembly — the sharded
+    [num_dst/D, F] blocks replicate for the next exchange's gather as
+    ONE all-reduce of the zero-padded blocks (an all-gather equivalent;
+    GSPMD inserts it at the replication boundary). That is the minimum:
+    new destination states must reach every chip that will gather them;
   * the backward computes per-shard partial ``dw`` (sorted reduce over
     the shard's entries grouped by src) and combines with ONE
-    ``psum`` over the edge axis — the only collective, riding ICI;
+    ``psum`` over the edge axis — the only backward collective, riding
+    ICI. No all-to-all, no collective-permute, no halo exchange
+    anywhere; tests/test_parallel.py::test_sharded_step_collective_census
+    asserts this census on the compiled HLO;
   * self-loop slots (N-slot layout, see graph/incidence.py) stay dense
     and replicated, outside the shard_map.
 
@@ -508,6 +516,33 @@ def sharded_segment_max(w, sd, norm_mode, norm_c):
         # into the stacked blocks) is exact — block rows are disjoint
         return jnp.take(out, sd.reasm, axis=0, mode="clip")[: sd.num_dst]
     return out[: sd.num_dst]
+
+
+def sharded_comm_stats(shex: "ShardedExchange", width: int,
+                       itemsize: int = 4, learn_mask: bool = False) -> dict:
+    """Communication accounting for one fwd+bwd pass over both directions
+    of an edge-partitioned exchange (the module docstring's claims,
+    quantified; structurally enforced on the compiled HLO by
+    tests/test_parallel.py::test_sharded_step_collective_census):
+
+      * forward: ONE output-reassembly all-reduce per direction
+        (``[num_dst, width]`` zero-padded blocks; all-gather equivalent)
+        — no input communication, segments never straddle shards;
+      * backward: ONE psum per direction of the replicated-source
+        cotangent ``dw [num_src, width]``, plus (LearnMask) one psum of
+        the canonical-order ``dnorm [nnz_pad_canon]`` per direction.
+    """
+    out = {"reassembly_fwd": 0, "psums_bwd": 0,
+           "fwd_bytes": 0, "bwd_bytes": 0}
+    for sd in (shex.v2e, shex.e2v):
+        out["reassembly_fwd"] += 1
+        out["fwd_bytes"] += sd.num_dst * width * itemsize
+        out["psums_bwd"] += 1
+        out["bwd_bytes"] += sd.num_src * width * itemsize
+        if learn_mask:
+            out["psums_bwd"] += 1
+            out["bwd_bytes"] += sd.nnz_pad_canon * 4
+    return out
 
 
 def sharded_spmm(

@@ -388,3 +388,101 @@ def test_sharded_learnmask_pma_matches(rng):
     np.testing.assert_allclose(
         np.asarray(out_sh), np.asarray(out_pl), rtol=1e-4, atol=1e-5
     )
+
+
+# --- compiled-program communication census ---------------------------------
+
+
+def _collective_census(txt):
+    """Count collective ops by (opcode, result shape) in compiled HLO text."""
+    import re
+    from collections import Counter
+
+    found = re.findall(r"= \(?([a-z0-9]+)\[([0-9,]*)\][^ ]* ([a-z0-9-]+)\(", txt)
+    return Counter(
+        (op, f"{t}[{s}]")
+        for t, s, op in found
+        if op.startswith(("all-", "collective", "reduce-scatter"))
+    )
+
+
+def test_sharded_step_collective_census(rng):
+    """Prove parallel/sharded.py's communication claims on the COMPILED
+    program (VERDICT r2 #4): per exchange, the forward carries exactly
+    one output-reassembly all-reduce ([num_dst, W] zero-padded blocks; an
+    all-gather equivalent at the replication boundary) and the backward
+    exactly one dw psum ([num_src, W]); no all-gather / all-to-all /
+    collective-permute / reduce-scatter anywhere. Multi-chip hardware is
+    unavailable in this environment, so compiled-HLO inspection is the
+    scaling evidence (SURVEY.md §4 item 4)."""
+    import dataclasses
+
+    from allset_tpu.graph.transforms import HyperData
+    from allset_tpu.parallel.sharded import ShardedExchange, sharded_comm_stats
+
+    n, m, nnz = 48, 20, 220
+    node = rng.integers(0, n, size=nnz)
+    edge = rng.integers(0, m, size=nnz)
+    from allset_tpu.graph.transforms import coalesce
+
+    node, edge = coalesce(node, edge)
+    hd = HyperData(
+        x=rng.normal(size=(n, 16)).astype(np.float32),
+        y=rng.integers(0, 4, size=n), node=node, edge=edge,
+        num_nodes=n, num_hyperedges=m,
+    )
+    hd = norm_construction(add_self_loops(hd), "all_one")
+    batch = Batch.from_hyperdata(hd, bucket=128)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(batch.inc, mesh).shard()
+    bsh = dataclasses.replace(batch, shex=shex)
+
+    L, H, HID = 2, 4, 32
+    cfg = SetGNNConfig(
+        num_features=16, num_classes=4, all_num_layers=L,
+        mlp_hidden=HID, classifier_hidden=32, classifier_num_layers=1,
+        heads=H, dropout=0.0,
+    )
+    model = SetGNN(cfg)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+    W = HID + H  # packed exchange width [values | seed scores]
+    # num_dst of V2E = hyperedges (padded rows per shard sum back to
+    # num_dst_padded); num_dst of E2V = nodes; dw is [num_src, W]
+    assert shex.v2e.num_src == n and shex.e2v.num_src == m
+    m_dst = shex.v2e.num_dst  # hyperedges
+    n_dst = shex.e2v.num_dst  # nodes
+
+    fwd_txt = (
+        jax.jit(lambda v, b: model.apply(v, b, False)).lower(v, bsh).compile().as_text()
+    )
+    census_f = _collective_census(fwd_txt)
+    # forward: one reassembly all-reduce per exchange, nothing else
+    assert census_f == {
+        ("all-reduce", f"f32[{m_dst},{W}]"): L,
+        ("all-reduce", f"f32[{n_dst},{W}]"): L,
+    }, census_f
+
+    def loss(v, b):
+        out = model.apply(v, b, False)
+        return jnp.sum(out**2)
+
+    step_txt = jax.jit(jax.grad(loss)).lower(v, bsh).compile().as_text()
+    census_s = _collective_census(step_txt)
+    # step = forward census + exactly one dw psum per exchange backward:
+    # V2E's dw is [num_nodes, W], E2V's dw is [num_edges, W] (shapes
+    # coincide with the reassemblies on this graph, so sum Counters)
+    from collections import Counter
+
+    want = Counter()
+    for shape, cnt in [
+        (f"f32[{m_dst},{W}]", L), (f"f32[{n_dst},{W}]", L),  # reassembly
+        (f"f32[{n},{W}]", L), (f"f32[{m},{W}]", L),          # dw psums
+    ]:
+        want[("all-reduce", shape)] += cnt
+    assert census_s == want, census_s
+
+    # the accounting helper agrees with the census (per V2E+E2V pass)
+    stats = sharded_comm_stats(shex, W)
+    assert stats["reassembly_fwd"] == 2 and stats["psums_bwd"] == 2
+    assert stats["fwd_bytes"] == (m_dst + n_dst) * W * 4
+    assert stats["bwd_bytes"] == (n + m) * W * 4
