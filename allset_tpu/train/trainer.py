@@ -120,13 +120,12 @@ class Trainer:
 
     def __init__(self, model, batch: Batch, cfg: TrainConfig,
                  tx: Optional[optax.GradientTransformation] = None):
-        if cfg.vmap_runs and getattr(batch, "shex", None) is not None:
-            # shard_map has no runs-folding batching rule; the explicit
-            # sharded exchange trains runs sequentially
-            raise NotImplementedError(
-                "vmapped statistical runs over a ShardedExchange; use "
-                "TrainConfig(vmap_runs=False) with multi-chip sharding"
-            )
+        # vmapped statistical runs compose with the ShardedExchange:
+        # jax.vmap pushes the runs axis inside the shard_map bodies,
+        # where the per-primitive runs-folding rules (ops/fold.py) fold
+        # it into the kernel width per shard — validated against
+        # sequential sharded fits in tests/test_parallel.py
+        # (test_sharded_vmapped_runs_match_sequential).
         self.model = model
         self.batch = batch
         self.cfg = cfg

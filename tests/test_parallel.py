@@ -486,3 +486,51 @@ def test_sharded_step_collective_census(rng):
     assert stats["reassembly_fwd"] == 2 and stats["psums_bwd"] == 2
     assert stats["fwd_bytes"] == (m_dst + n_dst) * W * 4
     assert stats["bwd_bytes"] == (n + m) * W * 4
+
+
+def test_sharded_vmapped_runs_match_sequential(rng):
+    """The canonical vmapped statistical-runs protocol over the
+    shard_map edge-partitioned exchange (VERDICT r2 #3): vmap pushes the
+    runs axis inside the shard bodies where the runs-folding batching
+    rules apply; a vmapped multi-run sharded fit must equal the same
+    runs trained sequentially (same rng streams, same step function)."""
+    import dataclasses
+
+    from allset_tpu.graph.transforms import HyperData, coalesce
+    from allset_tpu.parallel.sharded import ShardedExchange
+    from allset_tpu.train import TrainConfig, Trainer
+
+    n, m, nnz = 48, 20, 220
+    node = rng.integers(0, n, size=nnz)
+    edge = rng.integers(0, m, size=nnz)
+    node, edge = coalesce(node, edge)
+    hd = HyperData(
+        x=rng.normal(size=(n, 16)).astype(np.float32),
+        y=rng.integers(0, 4, size=n), node=node, edge=edge,
+        num_nodes=n, num_hyperedges=m,
+    )
+    hd = norm_construction(add_self_loops(hd), "all_one")
+    batch = Batch.from_hyperdata(hd, bucket=128)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(batch.inc, mesh).shard()
+    bsh = dataclasses.replace(batch, shex=shex)
+
+    cfg = SetGNNConfig(
+        num_features=16, num_classes=4, all_num_layers=1,
+        mlp_hidden=32, classifier_hidden=32, classifier_num_layers=1,
+        heads=4, dropout=0.0,
+    )
+    model = SetGNN(cfg)
+
+    kw = dict(epochs=5, runs=3, lr=1e-2, seed=0)
+    res_v = Trainer(model, bsh, TrainConfig(vmap_runs=True, **kw)).fit()
+    res_s = Trainer(model, bsh, TrainConfig(vmap_runs=False, **kw)).fit()
+    np.testing.assert_allclose(
+        res_v.metrics, res_s.metrics, rtol=1e-4, atol=1e-5
+    )
+    # and the sharded vmapped protocol agrees with the plain single-mesh
+    # batch (the exchange itself is numerics-identical)
+    res_p = Trainer(model, batch, TrainConfig(vmap_runs=True, **kw)).fit()
+    np.testing.assert_allclose(
+        res_v.metrics, res_p.metrics, rtol=1e-3, atol=1e-4
+    )
