@@ -1,0 +1,97 @@
+"""Record accuracy bands for the synthetic Table-2 protocol stand-ins.
+
+The raw AllSet archive is absent from this mount, so real-dataset
+accuracy parity cannot be pinned (VERDICT r2 missing #1). This script is
+the substitute regression net: it runs the full statistical protocol
+(reference ``src/train.py:458-499`` semantics — fresh split + init per
+run, best-val-epoch selection) on the synthetic stand-ins, and checks
+the resulting mean ± std bands into ``BANDS.json``.
+``tests/test_bands.py`` asserts future runs stay inside these bands.
+
+Run (on the TPU; ~15 min):  python scripts/record_bands.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Each entry: (key, dataset, method, overrides, runs, epochs)
+CONFIGS = [
+    # the Table-2 hard case at full protocol scale (tuned walmart row)
+    ("synthetic-walmart/AllSetTransformer",
+     "synthetic-walmart", "AllSetTransformer",
+     dict(heads=8, mlp_hidden=256, classifier_hidden=128,
+          all_num_layers=1, mlp_num_layers=2, classifier_num_layers=1),
+     20, 500),
+    # small-synthetic spread across the method families (CI-assertable)
+    ("synthetic/AllSetTransformer", "synthetic", "AllSetTransformer",
+     dict(heads=4, mlp_hidden=64, classifier_hidden=64), 20, 200),
+    ("synthetic/AllDeepSets", "synthetic", "AllDeepSets",
+     dict(mlp_hidden=64, classifier_hidden=64), 20, 200),
+    ("synthetic/HCHA", "synthetic", "HCHA",
+     dict(mlp_hidden=64, all_num_layers=2), 20, 200),
+    ("synthetic/HNHN", "synthetic", "HNHN",
+     dict(mlp_hidden=64, all_num_layers=2), 20, 200),
+]
+
+
+def run_config(dataset, method, overrides, runs, epochs, seed=0):
+    from allset_tpu.data.registry import load_dataset
+    from allset_tpu.train import TrainConfig, Trainer
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+
+    data = load_dataset(dataset, feature_noise=1.0, seed=seed)
+    cfg = ExperimentConfig(
+        method=method, dname=dataset, epochs=epochs, runs=runs,
+        dropout=0.5, lr=0.001, wd=0.0, seed=seed, **overrides,
+    )
+    model, batch, tx = prepare(cfg, data)
+    trainer = Trainer(
+        model, batch,
+        TrainConfig(epochs=epochs, runs=runs, lr=cfg.lr, wd=cfg.wd,
+                    seed=seed, vmap_runs=True),
+        tx=tx,
+    )
+    res = trainer.fit()
+    s = res.best_by_valid()
+    return {
+        "dataset": dataset, "method": method, "runs": runs,
+        "epochs": epochs, "seed": seed, "overrides": overrides,
+        "final_test_mean": round(s["final_test"][0], 3),
+        "final_test_std": round(s["final_test"][1], 3),
+        "highest_valid_mean": round(s["highest_valid"][0], 3),
+        "highest_valid_std": round(s["highest_valid"][1], 3),
+        "num_params": res.num_params,
+        "wall_s": round(res.wall_time, 1),
+    }
+
+
+def main():
+    import jax
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BANDS.json")
+    bands = {}
+    if os.path.exists(out_path):
+        bands = json.load(open(out_path))
+    only = sys.argv[1:] or None
+    for key, dataset, method, overrides, runs, epochs in CONFIGS:
+        if only and not any(o in key for o in only):
+            continue
+        print(f"[bands] {key}: {runs} runs x {epochs} epochs ...", flush=True)
+        rec = run_config(dataset, method, overrides, runs, epochs)
+        rec["platform"] = jax.devices()[0].platform
+        bands[key] = rec
+        print(f"[bands] {key}: test {rec['final_test_mean']} "
+              f"± {rec['final_test_std']}", flush=True)
+        with open(out_path, "w") as f:
+            json.dump(bands, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
