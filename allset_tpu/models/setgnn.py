@@ -90,6 +90,10 @@ class SetGNN(nn.Module):
             attention=c.pma,
             dtype=self._dtype,
             norm_grad=c.learn_mask,
+            # the inter-stage relu (src/models.py:475-479) folds into the
+            # half-layer: one fused epilogue pass on the PMA path, and the
+            # DeepSets path's own final relu makes it idempotent
+            fold_relu=True,
             name=name,
         )
 
@@ -192,9 +196,9 @@ class SetGNN(nn.Module):
             ]
             h = x
             for i in range(c.all_num_layers):
-                h = nn.relu(v2e(i, h))
+                h = v2e(i, h)  # relu folded into the half-layer
                 h = drop(h, deterministic=not train)
-                h = nn.relu(e2v(i, h))
+                h = e2v(i, h)
                 xs.append(h)
                 h = drop(h, deterministic=not train)
             stacked = jnp.stack(xs, axis=-1)  # [N, hid, L+1]
@@ -204,8 +208,8 @@ class SetGNN(nn.Module):
 
         h = nn.Dropout(0.2)(x, deterministic=not train)  # fixed input dropout
         for i in range(c.all_num_layers):
-            h = nn.relu(v2e(i, h))
+            h = v2e(i, h)  # relu folded into the half-layer
             h = drop(h, deterministic=not train)
-            h = nn.relu(e2v(i, h))
+            h = e2v(i, h)
             h = drop(h, deterministic=not train)
         return classifier(h, train).astype(jnp.float32)

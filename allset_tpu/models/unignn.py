@@ -46,6 +46,13 @@ def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, sc
     if inc.node_perm is not None:
         from allset_tpu.ops.exchange import dir_spmm
 
+        if agg1 == "mean" and scale_e is not None and inc.edge_count is not None:
+            # fold the mean divisor into the static edge scaling: one
+            # [M, F] pass (scale_e / count) instead of two (mean's
+            # divide, then scale_e) — UniGCNII runs this per conv layer
+            cnt = jnp.maximum(inc.edge_count, 1.0)
+            scale_e = (scale_e.reshape(-1) / cnt)[:, None].astype(scale_e.dtype)
+            agg1 = "add"
         xe = dir_spmm(x, inc.v2e(), reduce=agg1)
         if scale_e is not None:
             xe = xe * scale_e.astype(xe.dtype)

@@ -245,6 +245,10 @@ class PMA(nn.Module):
     # destination segment (covers the entries of ``d``; with a self-loop
     # split Direction that's the real edges — self-loop weights are 1).
     return_attention: bool = False
+    # fold the caller's post-PMA activation (SetGNN's inter-stage relu,
+    # ``src/models.py:475-479``) into this module: rides the fused
+    # epilogue kernel's single pass when active, plain relu otherwise
+    fold_relu: bool = False
 
     @nn.compact
     def __call__(
@@ -349,7 +353,8 @@ class PMA(nn.Module):
                 g1, b1 = _LNParams(self.out_dim, name="ln1")()
                 from allset_tpu.ops.pallas_pma import interpret_mode
 
-                return pma_epilogue(H, 1024, interpret_mode(), agg, att_flat,
+                return pma_epilogue(H, 1024, interpret_mode(),
+                                    self.fold_relu, agg, att_flat,
                                     g0, b0, Wrff, brff, g1, b1)
 
             denom_h = jnp.maximum(agg[:, HC : HC + H], 1e-16)  # [M, H]
@@ -378,6 +383,8 @@ class PMA(nn.Module):
         out = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln1")(
             out + nn.relu(rff(out, train)).astype(out.dtype)
         )
+        if self.fold_relu:
+            out = nn.relu(out)
         if self.return_attention:
             return out, attn
         return out
@@ -406,6 +413,10 @@ class HalfNLHconv(nn.Module):
     # True when d.norm requires gradients (SetGNN LearnMask): the fused
     # spmm then adds an SDDMM pass for dnorm; False declares dnorm = 0
     norm_grad: bool = False
+    # fold the caller's post-layer relu (see PMA.fold_relu). The DeepSets
+    # path already ends in relu (``src/layers.py:634``), making a caller
+    # relu idempotent, so the flag only matters on the attention path.
+    fold_relu: bool = False
 
     @nn.compact
     def __call__(
@@ -422,6 +433,7 @@ class HalfNLHconv(nn.Module):
                 num_layers=self.num_layers,
                 heads=self.heads,
                 dtype=self.dtype,
+                fold_relu=self.fold_relu,
                 name="prop",
             )(x, d, train)
 

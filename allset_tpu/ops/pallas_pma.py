@@ -159,17 +159,20 @@ def _ln_bwd(gy, xhat, rstd, g):
     return dx, dgamma, dbeta
 
 
-def _fwd_kernel(H, HC, L, cdt, a_ref, seed_ref, g0_ref, b0_ref, W_ref,
+def _fwd_kernel(H, HC, L, cdt, relu, a_ref, seed_ref, g0_ref, b0_ref, W_ref,
                 br_ref, g1_ref, b1_ref, y_ref):
     a = a_ref[...].astype(jnp.float32)
     Ws = [W_ref[l] for l in range(L)]
     brffs = [br_ref[0, l * HC : (l + 1) * HC] for l in range(L)]
     r = _fwd_recompute(a, seed_ref[...], g0_ref[...], b0_ref[...], Ws,
                        brffs, g1_ref[...], b1_ref[...], H, HC, L, cdt)
-    y_ref[...] = r["y"].astype(y_ref.dtype)
+    y = r["y"].astype(y_ref.dtype)
+    # folded activation (SetGNN's inter-stage relu): one fused pass
+    # instead of a separate [M, HC] read+write and its backward mask
+    y_ref[...] = jnp.maximum(y, 0) if relu else y
 
 
-def _bwd_kernel(H, HC, L, nrows, cdt, a_ref, gy_ref, seed_ref, g0_ref,
+def _bwd_kernel(H, HC, L, nrows, cdt, relu, a_ref, gy_ref, seed_ref, g0_ref,
                 b0_ref, W_ref, br_ref, g1_ref, b1_ref, da_ref, dW_ref,
                 ds_ref):
     i = pl.program_id(0)
@@ -193,6 +196,10 @@ def _bwd_kernel(H, HC, L, nrows, cdt, a_ref, gy_ref, seed_ref, g0_ref,
     r = _fwd_recompute(a, seed_ref[...], g0_ref[...], b0_ref[...], Ws,
                        brffs, g1_ref[...], b1_ref[...], H, HC, L, cdt)
 
+    if relu:
+        # mask against the ROUNDED output, matching the unfused
+        # composition (relu applied to the dtype-cast activations)
+        gy = gy * (r["y"].astype(cdt) > 0)
     dout2, dg1, db1 = _ln_bwd(gy, r["xhat1"], r["rstd1"], g1_ref[...])
     dz = dout2
     # outer relu on the rFF output
@@ -237,7 +244,7 @@ def _bwd_kernel(H, HC, L, nrows, cdt, a_ref, gy_ref, seed_ref, g0_ref,
 
 # --- reference composition (batching fallback + parity oracle) -------------
 
-def _reference_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H):
+def _reference_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H, relu=False):
     """The unfused XLA epilogue — the exact math PMA computed before the
     kernel existed (and still computes under vmapped runs)."""
     HC = seed.shape[-1]
@@ -262,12 +269,14 @@ def _reference_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H):
         if l < L - 1:
             h = jnp.maximum(h, 0)
     out2 = z + jnp.maximum(h, 0).astype(z.dtype)
-    return ln(out2, g1, b1)
+    y = ln(out2, g1, b1)
+    return jnp.maximum(y, 0) if relu else y
 
 
-def _reference_bwd(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, *, H):
+def _reference_bwd(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, *, H,
+                   relu=False):
     _, vjp = jax.vjp(
-        functools.partial(_reference_fwd, H=H),
+        functools.partial(_reference_fwd, H=H, relu=relu),
         agg, seed, g0, b0, Wrff, brff, g1, b1,
     )
     dagg, dseed, dg0, db0, dW, dbr, dg1, db1 = vjp(gy.astype(agg.dtype))
@@ -291,7 +300,8 @@ _epi_bwd_p = Primitive("allset_pma_epilogue_bwd")
 _epi_bwd_p.multiple_results = True
 
 
-def _pallas_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk, interpret):
+def _pallas_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk, interpret,
+                relu=False):
     M, WP = agg.shape
     HC = seed.shape[-1]
     L = Wrff.shape[0]
@@ -299,7 +309,7 @@ def _pallas_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk, interpret):
     grid = (M + blk - 1) // blk
     vec = lambda: pl.BlockSpec((1, HC), lambda i: (0, 0))
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel, H, HC, L, cdt),
+        functools.partial(_fwd_kernel, H, HC, L, cdt, relu),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((blk, WP), lambda i: (i, 0)),
@@ -320,7 +330,7 @@ def _pallas_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk, interpret):
 
 
 def _pallas_bwd(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk,
-                interpret):
+                interpret, relu=False):
     M, WP = agg.shape
     HC = seed.shape[-1]
     L = Wrff.shape[0]
@@ -328,7 +338,7 @@ def _pallas_bwd(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk,
     grid = (M + blk - 1) // blk
     vec = lambda: pl.BlockSpec((1, HC), lambda i: (0, 0))
     dagg, dW, dsmall = pl.pallas_call(
-        functools.partial(_bwd_kernel, H, HC, L, M, cdt),
+        functools.partial(_bwd_kernel, H, HC, L, M, cdt, relu),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((blk, WP), lambda i: (i, 0)),
@@ -373,7 +383,9 @@ def _bwd_abstract(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, **kw):
 def _fwd_batch(args, dims, **kw):
     in_axes = [None if d is batching.not_mapped else d for d in dims]
     f = jax.vmap(
-        functools.partial(_reference_fwd, H=kw["H"]), in_axes=in_axes
+        functools.partial(_reference_fwd, H=kw["H"],
+                          relu=kw.get("relu", False)),
+        in_axes=in_axes,
     )
     return f(*args), 0
 
@@ -381,7 +393,9 @@ def _fwd_batch(args, dims, **kw):
 def _bwd_batch(args, dims, **kw):
     in_axes = [None if d is batching.not_mapped else d for d in dims]
     f = jax.vmap(
-        functools.partial(_reference_bwd, H=kw["H"]), in_axes=in_axes
+        functools.partial(_reference_bwd, H=kw["H"],
+                          relu=kw.get("relu", False)),
+        in_axes=in_axes,
     )
     return f(*args), (0, 0, 0)
 
@@ -401,28 +415,32 @@ mlir.register_lowering(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def pma_epilogue(H, blk, interpret, agg, seed, g0, b0, Wrff, brff, g1, b1):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def pma_epilogue(H, blk, interpret, relu, agg, seed, g0, b0, Wrff, brff, g1,
+                 b1):
     """out = LN1(z + relu(rFF(z))), z = LN0(agg_vals / denom + seed) — the
     PMA epilogue (reference ``src/layers.py:128-157``) as one fused Pallas
     pass. ``agg`` is dir_spmm's packed [M, WP] aggregate; ``Wrff`` is
-    [L, HC, HC] stacked rFF kernels, ``brff`` [L, HC] stacked biases."""
+    [L, HC, HC] stacked rFF kernels, ``brff`` [L, HC] stacked biases.
+    ``relu=True`` folds the caller's post-PMA activation (SetGNN's
+    inter-stage relu, ``src/models.py:475-479``) into the same pass."""
     return _epi_fwd_p.bind(agg, seed, g0, b0, Wrff, brff, g1, b1,
-                           H=H, blk=blk, interpret=interpret)
+                           H=H, blk=blk, interpret=interpret, relu=relu)
 
 
-def _epilogue_fwd(H, blk, interpret, agg, seed, g0, b0, Wrff, brff, g1, b1):
+def _epilogue_fwd(H, blk, interpret, relu, agg, seed, g0, b0, Wrff, brff, g1,
+                  b1):
     y = _epi_fwd_p.bind(agg, seed, g0, b0, Wrff, brff, g1, b1,
-                        H=H, blk=blk, interpret=interpret)
+                        H=H, blk=blk, interpret=interpret, relu=relu)
     return y, (agg, seed, g0, b0, Wrff, brff, g1, b1)
 
 
-def _epilogue_bwd(H, blk, interpret, res, gy):
+def _epilogue_bwd(H, blk, interpret, relu, res, gy):
     agg, seed, g0, b0, Wrff, brff, g1, b1 = res
     L = Wrff.shape[0]
     dagg, dW, dsmall = _epi_bwd_p.bind(
         agg, gy, seed, g0, b0, Wrff, brff, g1, b1,
-        H=H, blk=blk, interpret=interpret,
+        H=H, blk=blk, interpret=interpret, relu=relu,
     )
     dseed, dg0, db0, dg1, db1 = (dsmall[k] for k in range(5))
     dbrff = dsmall[5 : 5 + L]

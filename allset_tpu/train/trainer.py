@@ -317,13 +317,36 @@ class Trainer:
         ids = jnp.arange(epochs)
         e_ax = 1 if vmapped else 0
         mets = []
-        for lo in range(0, epochs, echunk):
+        lo = 0
+        calibrated = self.cfg.epoch_chunk is not None  # explicit: fixed
+        while lo < epochs:
             hi = min(lo + echunk, epochs)
             seg = jax.lax.slice_in_dim(ep_rngs, lo, hi, axis=e_ax)
+            t0 = time.time()
             carry, prev, m = seg_fn(
                 carry, prev, seg, ids[lo:hi], masks_g, self.batch
             )
             mets.append(m)
+            if not calibrated:
+                # the a-priori estimate (_EPOCH_S_PER_RUN_NNZ) was tuned
+                # on one model/dtype; re-derive the chunk from the FIRST
+                # segment's measured rate (conservative guesses only cost
+                # call overhead, overshoots risk the tunnel kill window).
+                # Growing the chunk recompiles the segment program, so
+                # only bother when >= 60 s of scanning remains and the
+                # measured rate supports >= 2x larger segments.
+                jax.block_until_ready(m)
+                seg_s = max(time.time() - t0, 1e-3)
+                per_epoch = seg_s / (hi - lo)
+                better = max(1, int(self._CALL_BUDGET_S / per_epoch))
+                remaining_s = (epochs - hi) * per_epoch
+                if remaining_s > 60.0 and better >= 2 * echunk:
+                    echunk = min(better, epochs - hi)
+                    print(f"[trainer] epoch segments recalibrated to "
+                          f"{echunk} ({per_epoch * 1e3:.0f} ms/epoch "
+                          f"measured)")
+                calibrated = True
+            lo = hi
         return jnp.concatenate(mets, axis=e_ax), carry[0]
 
     def _fit_chunked(self, run_fn, rngs, masks, chunk: int):

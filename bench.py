@@ -62,7 +62,10 @@ def build(num_nodes, num_hyperedges, avg_edge_size, hidden, heads, seed=0):
         seed=seed,
     )
     hd = norm_construction(add_self_loops(hd), "all_one")
-    batch = Batch.from_hyperdata(hd, bucket=1024)
+    batch = Batch.from_hyperdata(
+        hd, bucket=1024,
+        bucket_rows=int(os.environ.get("BENCH_BUCKET_ROWS", 131072)),
+    )
     cfg = SetGNNConfig(
         num_features=hd.num_features,
         num_classes=8,

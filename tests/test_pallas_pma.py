@@ -62,7 +62,7 @@ def test_epilogue_matches_unfused(dtype, L):
     brff = 0.1 * jax.random.normal(ks[8], (L, HC), jnp.float32)
 
     y_ref = _unfused(agg, seed, g0, b0, Wrff, brff, g1, b1, H, HC, cdt)
-    y = pma_epilogue(H, 256, True, agg, seed, g0, b0, Wrff, brff, g1, b1)
+    y = pma_epilogue(H, 256, True, False, agg, seed, g0, b0, Wrff, brff, g1, b1)
     tol = 5e-2 if dtype == "bfloat16" else 2e-5
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
@@ -83,7 +83,7 @@ def test_epilogue_matches_unfused(dtype, L):
         loss_f(lambda *a: _unfused(*a, H, HC, cdt)), argnums=tuple(range(8))
     )(agg, seed, g0, b0, Wrff, brff, g1, b1)
     gfus = jax.grad(
-        loss_f(lambda *a: pma_epilogue(H, 256, True, *a)),
+        loss_f(lambda *a: pma_epilogue(H, 256, True, False, *a)),
         argnums=tuple(range(8)),
     )(agg, seed, g0, b0, Wrff, brff, g1, b1)
 
@@ -123,7 +123,7 @@ def test_epilogue_vmap_batches():
     Wrff = 0.05 * jax.random.normal(ks[7], (R, 1, HC, HC), jnp.float32)
     brff = 0.1 * jax.random.normal(ks[8], (R, 1, HC), jnp.float32)
 
-    fn = lambda *a: pma_epilogue(H, 128, True, *a)
+    fn = lambda *a: pma_epilogue(H, 128, True, False, *a)
 
     def loss(*a):
         return jnp.mean(fn(*a) ** 2)
@@ -198,4 +198,48 @@ def test_setgnn_fused_epilogue_integration(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale,
             atol=5e-4, err_msg=str(ka),
+        )
+
+
+def test_epilogue_relu_fold_matches():
+    """relu=True folds SetGNN's inter-stage activation into the kernel:
+    fwd == relu(unfused) and grads == grads of relu-composed reference."""
+    from flax import linen as nn
+    H, HC, M, WP, L = 4, 256, 520, 384, 2
+    cdt = jnp.float32
+    k = jax.random.PRNGKey(1)
+    ks = jax.random.split(k, 9)
+    agg_v = jax.random.normal(ks[0], (M, HC), jnp.float32)
+    den = jax.random.uniform(ks[1], (M, H), jnp.float32, 0.3, 3.0)
+    agg = jnp.concatenate(
+        [agg_v, den, jnp.zeros((M, WP - HC - H))], axis=1
+    ).astype(cdt)
+    seed = jax.random.normal(ks[2], (HC,), jnp.float32) * 0.1
+    g0 = 1.0 + 0.1 * jax.random.normal(ks[3], (HC,), jnp.float32)
+    b0 = 0.1 * jax.random.normal(ks[4], (HC,), jnp.float32)
+    g1 = 1.0 + 0.1 * jax.random.normal(ks[5], (HC,), jnp.float32)
+    b1 = 0.1 * jax.random.normal(ks[6], (HC,), jnp.float32)
+    Wrff = jax.random.normal(ks[7], (L, HC, HC), jnp.float32) * 0.05
+    brff = 0.1 * jax.random.normal(ks[8], (L, HC), jnp.float32)
+    args = (agg, seed, g0, b0, Wrff, brff, g1, b1)
+
+    y_ref = nn.relu(_unfused(*args, H, HC, cdt))
+    y = pma_epilogue(H, 256, True, True, *args)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        atol=2e-5, rtol=2e-5,
+    )
+
+    def loss_fused(*a):
+        return jnp.sum(pma_epilogue(H, 256, True, True, *a) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(nn.relu(_unfused(*a, H, HC, cdt)) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=3e-4, rtol=3e-4,
         )
