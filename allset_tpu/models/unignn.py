@@ -40,23 +40,39 @@ def normalize_l2(x: Array) -> Array:
 def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, scale_v=None):
     """The UniGNN gather/scatter idiom (``src/models.py:627-632``), routed
     through the sorted-everywhere exchange (Pallas reduces + permute-free
-    backward) whenever the incidence carries the aux."""
+    backward) whenever the incidence carries the aux.
+
+    The static degree scalings (UniGCNII's degE/degV and the V2E mean
+    divisor, reference ``src/train.py:396-412``) are folded into ONE
+    per-entry norm on the E2V exchange — ``w[i] = se[src_i] * sv[dst_i]``
+    — so no separate [M, F] / [N, F] elementwise passes (fwd or bwd)
+    survive; the multiply rides the fused spmm's gather epilogue."""
     agg1 = {"sum": "add"}.get(first_aggregate, first_aggregate)
     agg2 = {"sum": "add"}.get(second_aggregate, second_aggregate)
     if inc.node_perm is not None:
         from allset_tpu.ops.exchange import dir_spmm
 
-        if agg1 == "mean" and scale_e is not None and inc.edge_count is not None:
-            # fold the mean divisor into the static edge scaling: one
-            # [M, F] pass (scale_e / count) instead of two (mean's
-            # divide, then scale_e) — UniGCNII runs this per conv layer
+        se = scale_e.reshape(-1) if scale_e is not None else None
+        if agg1 == "mean" and inc.edge_count is not None:
+            # fold the mean divisor into the per-edge scaling too —
+            # UniGCNII runs mean-then-scale every conv layer
             cnt = jnp.maximum(inc.edge_count, 1.0)
-            scale_e = (scale_e.reshape(-1) / cnt)[:, None].astype(scale_e.dtype)
+            se = (1.0 / cnt) if se is None else se / cnt
             agg1 = "add"
         xe = dir_spmm(x, inc.v2e(), reduce=agg1)
-        if scale_e is not None:
-            xe = xe * scale_e.astype(xe.dtype)
-        xv = dir_spmm(xe, inc.e2v(), reduce=agg2)
+        d2 = inc.e2v()
+        if se is not None or scale_v is not None:
+            w = d2.mask.astype(jnp.float32)  # zero at padded entries
+            if se is not None:
+                w = w * jnp.take(se, d2.src, mode="clip")
+            if scale_v is not None:
+                w = w * jnp.take(scale_v.reshape(-1), d2.dst, mode="clip")
+            xv = dir_spmm(xe, d2, norm=w, reduce=agg2)
+            scale_v = None  # consumed
+            if se is not None:  # returned xe keeps its scaled semantics;
+                xe = xe * se[:, None].astype(xe.dtype)  # DCE'd when unused
+        else:
+            xv = dir_spmm(xe, d2, reduce=agg2)
     else:
         xve = gather_rows(x, inc.node)
         xe = segment_reduce(xve, inc.edge, inc.num_edges, first_aggregate, indices_are_sorted=True)

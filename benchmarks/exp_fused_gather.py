@@ -12,6 +12,29 @@ mechanisms against the XLA gather baseline (~3.1 ns/row):
   D. jnp.take(table, ids) inside the kernel (lowering probe)
 
 Usage: python benchmarks/exp_fused_gather.py [N [NNZ [F]]]
+
+RESULT (v5e, 2026-08, round 3): the fused exchange is INFEASIBLE with
+current Mosaic — every in-kernel arbitrary-row gather mechanism is closed:
+
+  * A/B (dynamic VMEM row read): Mosaic rejects the lowering — a
+    ``vector.load`` at a dynamic sublane offset needs the index provably
+    a multiple of 8 ("cannot statically prove that index in dimension 0
+    is a multiple of 8"). Arbitrary entry ids can't satisfy that, and
+    8x-replicating the table to align rows would blow VMEM/HBM.
+  * C (per-row DMA): compiles shape-wise but is issue-rate-bound — (1, F)
+    descriptors of ~768 B can't approach the XLA gather's ~3-7 ns/row at
+    at 582K rows/pass even with 16 outstanding copies.
+  * D (in-kernel jnp.take/take_along_axis): Mosaic's only gather lowering
+    is ``tpu.dynamic_gather`` with take_along_axis semantics — indices
+    and output must have the TABLE's shape (lowering.py: "Only 2D gather
+    is supported", indices == input shape), so a [CHUNK] -> [CHUNK, F]
+    row gather from an [N, F] table cannot be expressed unless N == CHUNK.
+
+Conclusion: the [nnz, W] HBM round trip between XLA's gather (which owns
+the hardware gather path) and the Pallas reduce (~1.1 ms/pass at bench
+shapes) is structural until Mosaic grows a ref-level gather. The kernel
+keeps its contiguous-DMA design (ops/pallas_segment.py); exchange-level
+wins must come from fewer/narrower passes instead.
 """
 
 import functools
