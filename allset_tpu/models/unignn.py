@@ -42,37 +42,30 @@ def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, sc
     through the sorted-everywhere exchange (Pallas reduces + permute-free
     backward) whenever the incidence carries the aux.
 
-    The static degree scalings (UniGCNII's degE/degV and the V2E mean
-    divisor, reference ``src/train.py:396-412``) are folded into ONE
-    per-entry norm on the E2V exchange — ``w[i] = se[src_i] * sv[dst_i]``
-    — so no separate [M, F] / [N, F] elementwise passes (fwd or bwd)
-    survive; the multiply rides the fused spmm's gather epilogue."""
+    The V2E mean divisor and UniGCNII's degE scaling fold into one [M, F]
+    pass (measured r3 NEGATIVE result: folding them further, into a
+    per-entry E2V exchange norm ``w[i] = se[src_i] * sv[dst_i]``, LOSES
+    ~10% at bench scale — the two narrow [nnz] scalar-gather norm builds,
+    the per-pass [nnz, F] multiply, and the backward's extra [nnz] norm
+    permute-gather cost more than the [M, F] + [N, F] row-space passes
+    they replace; row-space scaling is the cheaper side of the
+    exchange)."""
     agg1 = {"sum": "add"}.get(first_aggregate, first_aggregate)
     agg2 = {"sum": "add"}.get(second_aggregate, second_aggregate)
     if inc.node_perm is not None:
         from allset_tpu.ops.exchange import dir_spmm
 
-        se = scale_e.reshape(-1) if scale_e is not None else None
-        if agg1 == "mean" and inc.edge_count is not None:
-            # fold the mean divisor into the per-edge scaling too —
-            # UniGCNII runs mean-then-scale every conv layer
+        if agg1 == "mean" and scale_e is not None and inc.edge_count is not None:
+            # fold the mean divisor into the static edge scaling: one
+            # [M, F] pass (scale_e / count) instead of two (mean's
+            # divide, then scale_e) — UniGCNII runs this per conv layer
             cnt = jnp.maximum(inc.edge_count, 1.0)
-            se = (1.0 / cnt) if se is None else se / cnt
+            scale_e = (scale_e.reshape(-1) / cnt)[:, None].astype(scale_e.dtype)
             agg1 = "add"
         xe = dir_spmm(x, inc.v2e(), reduce=agg1)
-        d2 = inc.e2v()
-        if se is not None or scale_v is not None:
-            w = d2.mask.astype(jnp.float32)  # zero at padded entries
-            if se is not None:
-                w = w * jnp.take(se, d2.src, mode="clip")
-            if scale_v is not None:
-                w = w * jnp.take(scale_v.reshape(-1), d2.dst, mode="clip")
-            xv = dir_spmm(xe, d2, norm=w, reduce=agg2)
-            scale_v = None  # consumed
-            if se is not None:  # returned xe keeps its scaled semantics;
-                xe = xe * se[:, None].astype(xe.dtype)  # DCE'd when unused
-        else:
-            xv = dir_spmm(xe, d2, reduce=agg2)
+        if scale_e is not None:
+            xe = xe * scale_e.astype(xe.dtype)
+        xv = dir_spmm(xe, inc.e2v(), reduce=agg2)
     else:
         xve = gather_rows(x, inc.node)
         xe = segment_reduce(xve, inc.edge, inc.num_edges, first_aggregate, indices_are_sorted=True)
