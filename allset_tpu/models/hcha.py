@@ -103,7 +103,8 @@ class HypergraphConv(nn.Module):
                 msg = msg * _head_expand(alpha.astype(msg.dtype), F)
             return segment_sum(msg, dst, num_seg, indices_are_sorted=sorted_)
 
-        if alpha is None and inc.node_perm is not None:
+        shex = getattr(batch, "shex", None)
+        if alpha is None and (shex is not None or inc.node_perm is not None):
             # Sorted-everywhere exchange. The message norms B^-1[dst],
             # D^-*[dst] are constant per destination segment, so they pull
             # OUT of the reduce as table scalings: segsum(norm[dst]*x[src])
@@ -112,7 +113,19 @@ class HypergraphConv(nn.Module):
             # and no src-sorted norm permute in the backward.
             from allset_tpu.ops.exchange import dir_spmm
 
-            if inc.real is not None:
+            if shex is not None:
+                # explicit shard_map edge-partitioned exchange (multi-chip;
+                # parallel/sharded.py — fwd one reassembly all-reduce, bwd
+                # one dw psum per direction). Split and unsplit builds both
+                # compose: sl_mode tells which scale_e layout applies.
+                dv, de = shex.v2e, shex.e2v
+                if dv.sl_mode == "append":
+                    scale_e = jnp.concatenate(
+                        [_safe_inv(inc.real.edge_count), inc.sl_mask]
+                    )
+                else:
+                    scale_e = Binv
+            elif inc.real is not None:
                 # N-slot self-loop split: the sparse core covers real
                 # edges only; self-loop slots are identity rows with B=1,
                 # holes zeroed by sl_mask

@@ -37,10 +37,14 @@ def normalize_l2(x: Array) -> Array:
     return x * scale
 
 
-def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, scale_v=None):
+def _two_stage(x, batch, first_aggregate, second_aggregate="sum", scale_e=None, scale_v=None):
     """The UniGNN gather/scatter idiom (``src/models.py:627-632``), routed
     through the sorted-everywhere exchange (Pallas reduces + permute-free
-    backward) whenever the incidence carries the aux.
+    backward) whenever the incidence carries the aux, and through the
+    explicit shard_map edge-partitioned exchange (parallel/sharded.py)
+    when ``batch.shex`` is set with an UNSPLIT build (sl_mode 'none' —
+    UniGNN treats every incidence entry uniformly, so the self-loop-split
+    layout does not apply).
 
     The V2E mean divisor and UniGCNII's degE scaling fold into one [M, F]
     pass (measured r3 NEGATIVE result: folding them further, into a
@@ -50,9 +54,13 @@ def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, sc
     permute-gather cost more than the [M, F] + [N, F] row-space passes
     they replace; row-space scaling is the cheaper side of the
     exchange)."""
+    inc = batch.inc
+    shex = getattr(batch, "shex", None)
+    if shex is not None and shex.v2e.sl_mode != "none":
+        shex = None  # split build: semantics don't apply, use GSPMD path
     agg1 = {"sum": "add"}.get(first_aggregate, first_aggregate)
     agg2 = {"sum": "add"}.get(second_aggregate, second_aggregate)
-    if inc.node_perm is not None:
+    if shex is not None or inc.node_perm is not None:
         from allset_tpu.ops.exchange import dir_spmm
 
         if agg1 == "mean" and scale_e is not None and inc.edge_count is not None:
@@ -62,10 +70,12 @@ def _two_stage(x, inc, first_aggregate, second_aggregate="sum", scale_e=None, sc
             cnt = jnp.maximum(inc.edge_count, 1.0)
             scale_e = (scale_e.reshape(-1) / cnt)[:, None].astype(scale_e.dtype)
             agg1 = "add"
-        xe = dir_spmm(x, inc.v2e(), reduce=agg1)
+        dv = shex.v2e if shex is not None else inc.v2e()
+        de = shex.e2v if shex is not None else inc.e2v()
+        xe = dir_spmm(x, dv, reduce=agg1)
         if scale_e is not None:
             xe = xe * scale_e.astype(xe.dtype)
-        xv = dir_spmm(xe, inc.e2v(), reduce=agg2)
+        xv = dir_spmm(xe, de, reduce=agg2)
     else:
         xve = gather_rows(x, inc.node)
         xe = segment_reduce(xve, inc.edge, inc.num_edges, first_aggregate, indices_are_sorted=True)
@@ -109,7 +119,7 @@ class UniSAGEConv(nn.Module):
     def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
         x = TorchDense(self.heads * self.out_channels, use_bias=False, dtype=_dt(c), name="W")(x)
-        xv, _ = _two_stage(x, batch.inc, c.first_aggregate, c.second_aggregate)
+        xv, _ = _two_stage(x, batch, c.first_aggregate, c.second_aggregate)
         x = x + xv
         return normalize_l2(x) if c.use_norm else x
 
@@ -124,7 +134,7 @@ class UniGINConv(nn.Module):
         c = self.cfg
         eps = self.param("eps", nn.initializers.zeros, (1,))
         x = TorchDense(self.heads * self.out_channels, use_bias=False, dtype=_dt(c), name="W")(x)
-        xv, _ = _two_stage(x, batch.inc, c.first_aggregate, "sum")
+        xv, _ = _two_stage(x, batch, c.first_aggregate, "sum")
         x = (1 + eps) * x + xv
         return normalize_l2(x) if c.use_norm else x
 
@@ -139,7 +149,7 @@ class UniGCNConv(nn.Module):
         c = self.cfg
         degV, degE = batch.extras["degV"], batch.extras["degE"]
         x = TorchDense(self.heads * self.out_channels, use_bias=False, dtype=_dt(c), name="W")(x)
-        xv, _ = _two_stage(x, batch.inc, c.first_aggregate, "sum",
+        xv, _ = _two_stage(x, batch, c.first_aggregate, "sum",
                            scale_e=degE, scale_v=degV)
         return normalize_l2(xv) if c.use_norm else xv
 
@@ -155,7 +165,7 @@ class UniGCNConv2(nn.Module):
     def __call__(self, x: Array, batch: Batch, train: bool = False) -> Array:
         c = self.cfg
         degV, degE = batch.extras["degV"], batch.extras["degE"]
-        xv, _ = _two_stage(x, batch.inc, c.first_aggregate, "sum",
+        xv, _ = _two_stage(x, batch, c.first_aggregate, "sum",
                            scale_e=degE, scale_v=degV)
         if c.use_norm:
             xv = normalize_l2(xv)
@@ -235,7 +245,7 @@ class UniGCNIIConv(nn.Module):
     @nn.compact
     def __call__(self, x, x0, alpha, beta, batch: Batch) -> Array:
         degV, degE = batch.extras["degV"], batch.extras["degE"]
-        xv, _ = _two_stage(x, batch.inc, "mean", "sum", scale_e=degE, scale_v=degV)
+        xv, _ = _two_stage(x, batch, "mean", "sum", scale_e=degE, scale_v=degV)
         if self.cfg.use_norm:
             xv = normalize_l2(xv)
         xi = (1 - alpha) * xv + alpha * x0.astype(xv.dtype)

@@ -198,8 +198,12 @@ def _bwd_kernel(H, HC, L, nrows, cdt, relu, a_ref, gy_ref, seed_ref, g0_ref,
 
     if relu:
         # mask against the ROUNDED output, matching the unfused
-        # composition (relu applied to the dtype-cast activations)
-        gy = gy * (r["y"].astype(cdt) > 0)
+        # composition (relu applied to the dtype-cast activations).
+        # Round-trip to f32 BEFORE comparing: bf16->f32 is exact, so
+        # semantics are identical, but a bf16 cmpf would fail Mosaic
+        # compile on v5e (vector<...xbf16> predicate unsupported —
+        # the BENCH_r03 regression).
+        gy = gy * (r["y"].astype(cdt).astype(jnp.float32) > 0)
     dout2, dg1, db1 = _ln_bwd(gy, r["xhat1"], r["rstd1"], g1_ref[...])
     dz = dout2
     # outer relu on the rFF output

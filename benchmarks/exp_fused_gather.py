@@ -22,7 +22,7 @@ current Mosaic — every in-kernel arbitrary-row gather mechanism is closed:
     is a multiple of 8"). Arbitrary entry ids can't satisfy that, and
     8x-replicating the table to align rows would blow VMEM/HBM.
   * C (per-row DMA): compiles shape-wise but is issue-rate-bound — (1, F)
-    descriptors of ~768 B can't approach the XLA gather's ~3-7 ns/row at
+    descriptors of ~768 B can't approach the XLA gather's ~3-7 ns/row
     at 582K rows/pass even with 16 outstanding copies.
   * D (in-kernel jnp.take/take_along_axis): Mosaic's only gather lowering
     is ``tpu.dynamic_gather`` with take_along_axis semantics — indices

@@ -77,6 +77,34 @@ def main():
     assert bool(jnp.isfinite(loss)), "non-finite loss"
     print(f"[ok] SetGNN bf16 step, loss={float(loss):.3f}")
 
+    # 3b) lane-aligned FLAGSHIP leg: mlp_hidden=256 so the fused PMA
+    # epilogue kernel (ops/pallas_pma.py, incl. the fold_relu backward)
+    # actually COMPILES on the chip — the width-64 leg above never routes
+    # through it (the r3 bf16-cmpf regression shipped through that hole).
+    # Both dtypes: bf16 (bench config) and f32 (walmart-scale CLI config).
+    from allset_tpu.ops.pallas_pma import epilogue_active
+
+    assert epilogue_active(256, 8, 2, 256), (
+        "fused PMA epilogue inactive at flagship shapes — smoke would "
+        "not cover the kernel"
+    )
+    for dt in ("bfloat16", "float32"):
+        cfgF = SetGNNConfig(num_features=64, num_classes=4,
+                            all_num_layers=2, mlp_hidden=256,
+                            classifier_hidden=256, classifier_num_layers=2,
+                            heads=8, dropout=0.0, dtype=dt)
+        modelF = SetGNN(cfgF)
+        vF = modelF.init({"params": jax.random.PRNGKey(0)}, batch, False)
+        lossF, gF = jax.jit(jax.value_and_grad(
+            lambda p: (modelF.apply(p, batch, False).astype(jnp.float32) ** 2).sum()
+        ))(vF)
+        leaves = jax.tree_util.tree_leaves(gF)
+        assert bool(jnp.isfinite(lossF)), f"non-finite loss ({dt})"
+        assert all(bool(jnp.isfinite(l.astype(jnp.float32)).all())
+                   for l in leaves), f"non-finite grads ({dt})"
+        print(f"[ok] flagship fused-epilogue step ({dt}), "
+              f"loss={float(lossF):.3f}")
+
     # 4) vmapped statistical runs at a 128-multiple width (the runs axis
     # folds into the kernel width via ops/fold.py batching rules)
     from allset_tpu.train import TrainConfig, Trainer

@@ -71,6 +71,32 @@ def test_early_stopping_rules():
     assert es.restore() == {"w": 3}
 
 
+def test_sampler_unmasked_ids_unique():
+    """DGL's frontier dedup keeps ONE occurrence per neighbor id — in
+    particular the seed must not appear twice when a walk lands back on it
+    (``src/DGL_HAN/train_sampling.py:106-116``). Regression for the r3
+    double-counted-seed bug (sampler.py dedup vs forced self-loop column)."""
+    from allset_tpu.data.sampler import HANNeighborSampler
+
+    # dense tiny graph: walks frequently return to the seed
+    hd = synthetic_hypergraph(
+        num_nodes=12, num_hyperedges=6, num_classes=2,
+        homophily=0.9, feature_noise=0.3, seed=0,
+    )
+    sampler = HANNeighborSampler(hd, num_neighbors=16, seed=1)
+    hit_seed_walk = False
+    for trial in range(5):
+        blocks = sampler.sample(np.arange(12))
+        for name, blk in blocks.items():
+            for b in range(blk.src.shape[0]):
+                ids = blk.src[b][blk.mask[b]]
+                assert len(ids) == len(np.unique(ids)), (name, b, ids)
+                assert np.sum(ids == b) == 1, (name, b, ids)  # seed once
+            hit_seed_walk |= bool(np.any(blocks["vev"].src[:, :-1]
+                                         == np.arange(12)[:, None]))
+    assert hit_seed_walk  # the tricky case actually occurred
+
+
 @pytest.mark.slow
 def test_sampled_han_minibatch():
     """Mini-batch HAN with the random-walk sampler (train_sampling.py)."""

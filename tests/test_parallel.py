@@ -394,16 +394,24 @@ def test_sharded_learnmask_pma_matches(rng):
 
 
 def _collective_census(txt):
-    """Count collective ops by (opcode, result shape) in compiled HLO text."""
+    """Count collective payloads by (opcode, result shape) in compiled HLO
+    text. Tuple-shaped collectives (XLA's all-reduce combiner merges
+    independent psums, e.g. dw + dnorm from one shard_map body) count one
+    entry per component, so the census stays a faithful payload census."""
     import re
     from collections import Counter
 
-    found = re.findall(r"= \(?([a-z0-9]+)\[([0-9,]*)\][^ ]* ([a-z0-9-]+)\(", txt)
-    return Counter(
-        (op, f"{t}[{s}]")
-        for t, s, op in found
-        if op.startswith(("all-", "collective", "reduce-scatter"))
+    c = Counter()
+    pat = re.compile(
+        r"= (.*?) (all-[a-z-]+|collective-[a-z-]+|reduce-scatter)\("
     )
+    for m in pat.finditer(txt):
+        op = m.group(2)
+        if op.endswith(("-start", "-done")):
+            continue
+        for t, s in re.findall(r"([a-z0-9]+)\[([0-9,]*)\]", m.group(1)):
+            c[(op, f"{t}[{s}]")] += 1
+    return c
 
 
 def test_sharded_step_collective_census(rng):
@@ -533,4 +541,164 @@ def test_sharded_vmapped_runs_match_sequential(rng):
     res_p = Trainer(model, batch, TrainConfig(vmap_runs=True, **kw)).fit()
     np.testing.assert_allclose(
         res_v.metrics, res_p.metrics, rtol=1e-3, atol=1e-4
+    )
+
+
+# --- zoo + LearnMask collective census (VERDICT r3 #6) ----------------------
+
+
+def _zoo_setup(method, split, **cfg_kw):
+    """prepare() a model via the factory, attach a ShardedExchange built
+    with the given split mode, and return (model, batch, bsh, shex)."""
+    import dataclasses
+
+    from allset_tpu.parallel.sharded import ShardedExchange
+    from allset_tpu.train.factory import ExperimentConfig, prepare
+
+    hd = synthetic_hypergraph(num_nodes=48, num_hyperedges=20, seed=3)
+    cfg = ExperimentConfig(method=method, mlp_hidden=32, dropout=0.0,
+                           bucket=128, **cfg_kw)
+    model, batch, _ = prepare(cfg, hd)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(batch.inc, mesh, split=split).shard()
+    # replicated batch (no shard_batch): the shex path never reads the
+    # incidence entry arrays except the LearnMask norm, which must stay
+    # replicated — nnz-sharding it would force an all-gather at the
+    # shard_map boundary and pollute the census
+    bsh = dataclasses.replace(batch, shex=shex)
+    return model, batch, bsh, shex
+
+
+def _census_pair(model, v, bsh):
+    """(forward census, grad-step census) on the compiled HLO."""
+
+    def loss(v, b):
+        out = model.apply(v, b, False)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    fwd_txt = (
+        jax.jit(lambda v, b: model.apply(v, b, False))
+        .lower(v, bsh).compile().as_text()
+    )
+    step_txt = jax.jit(jax.grad(loss)).lower(v, bsh).compile().as_text()
+    return _collective_census(fwd_txt), _collective_census(step_txt)
+
+
+def test_sharded_census_hcha():
+    """HCHA over the shard_map exchange (new r4 routing: models/hcha.py
+    picks batch.shex): per conv, fwd = one reassembly all-reduce per
+    direction, bwd adds one dw psum per direction; the dense self-loop
+    slots (sl_mode append/add) and the B^-1 / D^-1 row scalings are
+    replicated math and must add NO collectives."""
+    from collections import Counter
+
+    model, batch, bsh, shex = _zoo_setup("HCHA", split=None)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+
+    # numerical parity of the new routing first
+    want = np.asarray(model.apply(v, batch, False))
+    with shex.v2e.mesh:
+        got = np.asarray(model.apply(v, bsh, False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    census_f, census_s = _census_pair(model, v, bsh)
+    widths = [32, batch.y.max().item() + 1]  # conv0 hidden, conv1 classes
+    m_dst, n_dst = shex.v2e.num_dst, shex.e2v.num_dst
+    n_src, m_src = shex.v2e.num_src, shex.e2v.num_src
+    want_f, want_s = Counter(), Counter()
+    for w in widths:
+        want_f[("all-reduce", f"f32[{m_dst},{w}]")] += 1
+        want_f[("all-reduce", f"f32[{n_dst},{w}]")] += 1
+        want_s[("all-reduce", f"f32[{m_dst},{w}]")] += 1
+        want_s[("all-reduce", f"f32[{n_dst},{w}]")] += 1
+        want_s[("all-reduce", f"f32[{n_src},{w}]")] += 1
+        want_s[("all-reduce", f"f32[{m_src},{w}]")] += 1
+    assert census_f == want_f, (census_f, want_f)
+    assert census_s == want_s, (census_s, want_s)
+
+
+def test_sharded_census_unigcnii():
+    """UniGCNII over the shard_map exchange (unsplit build — UniGNN
+    semantics treat every entry uniformly). 2 convs, each one V2E + E2V
+    pass at width nhid; the degV/degE scalings and the GCNII identity
+    mixing are replicated; lin_in/lin_out are replicated GEMMs."""
+    from collections import Counter
+
+    model, batch, bsh, shex = _zoo_setup("UniGCNII", split=False)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+
+    want = np.asarray(model.apply(v, batch, False))
+    with shex.v2e.mesh:
+        got = np.asarray(model.apply(v, bsh, False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    census_f, census_s = _census_pair(model, v, bsh)
+    L, nhid = 2, 32
+    m_dst, n_dst = shex.v2e.num_dst, shex.e2v.num_dst
+    n_src, m_src = shex.v2e.num_src, shex.e2v.num_src
+    want_f = Counter({
+        ("all-reduce", f"f32[{m_dst},{nhid}]"): L,
+        ("all-reduce", f"f32[{n_dst},{nhid}]"): L,
+    })
+    want_s = want_f + Counter({
+        ("all-reduce", f"f32[{n_src},{nhid}]"): L,
+        ("all-reduce", f"f32[{m_src},{nhid}]"): L,
+    })
+    assert census_f == want_f, (census_f, want_f)
+    assert census_s == want_s, (census_s, want_s)
+
+
+def test_sharded_census_learnmask():
+    """AllDeepSets + LearnMask over the UNSPLIT shard_map exchange: the
+    traced per-entry norm adds exactly one dnorm psum per direction per
+    layer in the backward (the SDDMM pass, parallel/sharded.py), in
+    canonical entry order f32[nnz_pad]; the forward census is unchanged.
+    sharded_comm_stats(learn_mask=True) must agree."""
+    from collections import Counter
+
+    from allset_tpu.parallel.sharded import sharded_comm_stats
+
+    model, batch, bsh, shex = _zoo_setup(
+        "AllDeepSets", split=False, learn_mask=True, mlp_num_layers=1,
+        classifier_num_layers=1, all_num_layers=2,
+    )
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+
+    want = np.asarray(model.apply(v, batch, False))
+    with shex.v2e.mesh:
+        got = np.asarray(model.apply(v, bsh, False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    census_f, census_s = _census_pair(model, v, bsh)
+    L, W = 2, 32
+    m_dst, n_dst = shex.v2e.num_dst, shex.e2v.num_dst
+    n_src, m_src = shex.v2e.num_src, shex.e2v.num_src
+    nnz_pad = shex.v2e.nnz_pad_canon
+    want_f = Counter({
+        ("all-reduce", f"f32[{m_dst},{W}]"): L,
+        ("all-reduce", f"f32[{n_dst},{W}]"): L,
+    })
+    want_s = want_f + Counter({
+        ("all-reduce", f"f32[{n_src},{W}]"): L,
+        ("all-reduce", f"f32[{m_src},{W}]"): L,
+        ("all-reduce", f"f32[{nnz_pad}]"): 2 * L,  # dnorm SDDMM psums
+    })
+    assert census_f == want_f, (census_f, want_f)
+    assert census_s == want_s, (census_s, want_s)
+
+    stats = sharded_comm_stats(shex, W, learn_mask=True)
+    assert stats["psums_bwd"] == 4  # (dw + dnorm) per direction
+    assert stats["bwd_bytes"] == (n_src + m_src) * W * 4 + 2 * nnz_pad * 4
+
+    # the LearnMask gradient actually reaches the importance param
+    def loss(v, b):
+        return jnp.sum(model.apply(v, b, False) ** 2)
+
+    with shex.v2e.mesh:
+        g = jax.grad(loss)(v, bsh)
+    gi = np.asarray(g["params"]["importance"])
+    assert np.abs(gi).max() > 0
+    g1 = jax.grad(loss)(v, batch)
+    np.testing.assert_allclose(
+        gi, np.asarray(g1["params"]["importance"]), rtol=1e-3, atol=1e-5
     )
