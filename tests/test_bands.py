@@ -41,7 +41,7 @@ def test_synthetic_band(method):
     sys.path.insert(0, os.path.join(os.path.dirname(BANDS_PATH), "scripts"))
     from record_bands import run_config
 
-    band = _band(f"synthetic/{method}")
+    band = _band(f"synthetic-mid/{method}")
     rec = run_config(
         band["dataset"], band["method"], band["overrides"],
         FAST_RUNS, band["epochs"], seed=band["seed"],
