@@ -42,6 +42,13 @@ def scan_time(body, init, K=(8, 40), n=3):
     return (timed(k1) - timed(k0)) / (k1 - k0)
 
 
+def _want(name):
+    """ZOO_ONLY=UniGCNII,HCHA runs only those legs (fresh-process retries
+    after a tunnel wedge — one stuck leg then can't eat the whole sweep)."""
+    only = os.environ.get("ZOO_ONLY")
+    return only is None or name in only.split(",")
+
+
 def main():
     from allset_tpu.data.synthetic import scale_free_hypergraph
     from allset_tpu.graph import add_self_loops, norm_construction
@@ -73,17 +80,19 @@ def main():
         return scan_time(body, v)
 
     dt = os.environ.get("ZOO_DTYPE", "bfloat16")
-    cfg = HCHAConfig(num_features=256, num_classes=8, all_num_layers=2,
-                     mlp_hidden=256, dtype=dt)
-    t = fwd_bwd_time(HCHA(cfg), batch)
-    print(f"HCHA      fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
+    if _want("HCHA"):
+        cfg = HCHAConfig(num_features=256, num_classes=8, all_num_layers=2,
+                         mlp_hidden=256, dtype=dt)
+        t = fwd_bwd_time(HCHA(cfg), batch)
+        print(f"HCHA      fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
 
-    hd2 = generate_norm_hnhn(hd, alpha=-1.5, beta=-0.5)
-    b2 = Batch.from_hyperdata(hd2, bucket=1024)
-    cfg = HNHNConfig(num_features=256, num_classes=8, all_num_layers=2,
-                     mlp_hidden=256, dtype=dt)
-    t = fwd_bwd_time(HNHN(cfg), b2)
-    print(f"HNHN      fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
+    if _want("HNHN"):
+        hd2 = generate_norm_hnhn(hd, alpha=-1.5, beta=-0.5)
+        b2 = Batch.from_hyperdata(hd2, bucket=1024)
+        cfg = HNHNConfig(num_features=256, num_classes=8, all_num_layers=2,
+                         mlp_hidden=256, dtype=dt)
+        t = fwd_bwd_time(HNHN(cfg), b2)
+        print(f"HNHN      fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
 
     # UniGCNII's factory pipeline has no Add_Self_Loops (src/train.py:390-416)
     hd3 = scale_free_hypergraph(
@@ -94,22 +103,24 @@ def main():
     degV, degE = unignn_degrees(hd3)
     hd3.extras = dict(hd3.extras, degV=degV, degE=degE)
     b3 = Batch.from_hyperdata(hd3, bucket=1024)
-    cfg = UniGCNIIConfig(num_features=256, num_classes=8, all_num_layers=2,
-                         mlp_hidden=256, dtype=dt)
-    t = fwd_bwd_time(UniGCNII(cfg), b3)
-    print(f"UniGCNII  fwd+bwd: {t*1e3:7.2f} ms  ({b3.inc.nnz/t/1e6:6.2f} M edges/s)")
+    if _want("UniGCNII"):
+        cfg = UniGCNIIConfig(num_features=256, num_classes=8, all_num_layers=2,
+                             mlp_hidden=256, dtype=dt)
+        t = fwd_bwd_time(UniGCNII(cfg), b3)
+        print(f"UniGCNII  fwd+bwd: {t*1e3:7.2f} ms  ({b3.inc.nnz/t/1e6:6.2f} M edges/s)")
 
     # AllDeepSets: the reference's second flagship (PMA off, DeepSets
     # half-layers) on the same graph/pipeline as AllSetTransformer
     from allset_tpu.models import SetGNN, SetGNNConfig
 
-    ds = SetGNNConfig.all_deep_sets(
-        num_features=256, num_classes=8, all_num_layers=1, mlp_hidden=256,
-        classifier_hidden=256, classifier_num_layers=1, dropout=0.0,
-        dtype=dt,
-    )
-    t = fwd_bwd_time(SetGNN(ds), batch)
-    print(f"AllDeepSets fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
+    if _want("AllDeepSets"):
+        ds = SetGNNConfig.all_deep_sets(
+            num_features=256, num_classes=8, all_num_layers=1, mlp_hidden=256,
+            classifier_hidden=256, classifier_num_layers=1, dropout=0.0,
+            dtype=dt,
+        )
+        t = fwd_bwd_time(SetGNN(ds), batch)
+        print(f"AllDeepSets fwd+bwd: {t*1e3:7.2f} ms  ({nnz/t/1e6:6.2f} M edges/s)")
 
     # CEGCN over the clique expansion (factory prep, gcn_norm + self-loops)
     from allset_tpu.graph.transforms import construct_v2v, gcn_norm
@@ -117,18 +128,19 @@ def main():
     from allset_tpu.graph.incidence import Incidence
     from allset_tpu.models.cegnn import CEGCN, CEConfig
 
-    pairs, weights = construct_v2v(hd3)
-    ei, nrm = gcn_norm(pairs, weights, hd3.num_nodes, add_self_loops=True)
-    v2v = Incidence.from_arrays(
-        ei[0], ei[1], norm=nrm, num_nodes=hd3.num_nodes,
-        num_edges=hd3.num_nodes, bucket=1024,
-    )
-    b4 = _B(x=jnp.asarray(hd3.x), y=jnp.asarray(hd3.y, jnp.int32), inc=v2v,
-            extras={})
-    cfg = CEConfig(num_features=256, num_classes=8, all_num_layers=2,
-                   mlp_hidden=256, dtype=dt)
-    t = fwd_bwd_time(CEGCN(cfg), b4)
-    print(f"CEGCN     fwd+bwd: {t*1e3:7.2f} ms  ({v2v.nnz/t/1e6:6.2f} M pairs/s)")
+    if _want("CEGCN"):
+        pairs, weights = construct_v2v(hd3)
+        ei, nrm = gcn_norm(pairs, weights, hd3.num_nodes, add_self_loops=True)
+        v2v = Incidence.from_arrays(
+            ei[0], ei[1], norm=nrm, num_nodes=hd3.num_nodes,
+            num_edges=hd3.num_nodes, bucket=1024,
+        )
+        b4 = _B(x=jnp.asarray(hd3.x), y=jnp.asarray(hd3.y, jnp.int32), inc=v2v,
+                extras={})
+        cfg = CEConfig(num_features=256, num_classes=8, all_num_layers=2,
+                       mlp_hidden=256, dtype=dt)
+        t = fwd_bwd_time(CEGCN(cfg), b4)
+        print(f"CEGCN     fwd+bwd: {t*1e3:7.2f} ms  ({v2v.nnz/t/1e6:6.2f} M pairs/s)")
 
     # HyperGCN fast path (factory prep: mediator Laplacian)
     from allset_tpu.graph.transforms import hypergcn_edge_dict
@@ -136,16 +148,17 @@ def main():
         HyperGCN, HyperGCNConfig, build_hypergcn_laplacian,
     )
 
-    he = hypergcn_edge_dict(hd3)
-    struct = build_hypergcn_laplacian(
-        hd3.num_nodes, he, hd3.x, mediators=True, seed=0, bucket=1024
-    )
-    b5 = _B(x=jnp.asarray(hd3.x), y=jnp.asarray(hd3.y, jnp.int32),
-            inc=struct, extras={})
-    cfg = HyperGCNConfig(num_features=256, num_classes=8, all_num_layers=2,
-                         dtype=dt)
-    t = fwd_bwd_time(HyperGCN(cfg), b5)
-    print(f"HyperGCN  fwd+bwd: {t*1e3:7.2f} ms  ({struct.nnz/t/1e6:6.2f} M entries/s)")
+    if _want("HyperGCN"):
+        he = hypergcn_edge_dict(hd3)
+        struct = build_hypergcn_laplacian(
+            hd3.num_nodes, he, hd3.x, mediators=True, seed=0, bucket=1024
+        )
+        b5 = _B(x=jnp.asarray(hd3.x), y=jnp.asarray(hd3.y, jnp.int32),
+                inc=struct, extras={})
+        cfg = HyperGCNConfig(num_features=256, num_classes=8, all_num_layers=2,
+                             dtype=dt)
+        t = fwd_bwd_time(HyperGCN(cfg), b5)
+        print(f"HyperGCN  fwd+bwd: {t*1e3:7.2f} ms  ({struct.nnz/t/1e6:6.2f} M entries/s)")
 
 
 if __name__ == "__main__":
