@@ -295,11 +295,40 @@ class PMA(nn.Module):
         # [in, HC+H] kernel adds 8 columns to a tile XLA pads to 128 lanes
         # regardless). Biases stay separate adds so alpha keeps its f32
         # bias math; both fuse into the consumers.
-        Wf = jnp.concatenate([WV, Wa], axis=1)  # [in_dim, HC+H] f32 params
-        yf = xc @ Wf.astype(xc.dtype)
-        x_V = yf[:, :HC] + bV.astype(yf.dtype)
-        alpha = yf[:, HC:].astype(jnp.float32) + ba[None, :]
-        alpha = nn.leaky_relu(alpha, self.negative_slope)
+        from allset_tpu.ops.pallas_pack import (
+            pack_active, packed_width, pma_pack,
+        )
+
+        use_pack = (
+            self.softmax_mode != "segment"
+            and not self.return_attention
+            and pack_active(d, HC, H)
+        )
+        if use_pack:
+            # fused score+pack (ops/pallas_pack.py): the GEMM emits yf
+            # lane-padded with zero Wf columns (the HC+H -> WP pad already
+            # existed physically in the tiled layout), then two Pallas
+            # passes build the packed exchange table — replacing the bias
+            # fusions, the narrow f32 [N, H] alpha chain, the _colmax
+            # relayout, and the concat. Backward is the exact composition
+            # vjp (pallas_pack._pack_ref), so gradients are unchanged.
+            WP = packed_width(HC, H)
+            Wf = jnp.concatenate(
+                [WV, Wa, jnp.zeros((WV.shape[0], WP - HC - H), WV.dtype)],
+                axis=1,
+            )
+            yf = xc @ Wf.astype(xc.dtype)
+            from allset_tpu.ops.pallas_pma import interpret_mode as _interp
+
+            w = pma_pack(H, HC, WP, self.negative_slope, 1024, _interp(),
+                         yf, bV, ba)
+            x_V = alpha = None
+        else:
+            Wf = jnp.concatenate([WV, Wa], axis=1)  # [in_dim, HC+H] f32 params
+            yf = xc @ Wf.astype(xc.dtype)
+            x_V = yf[:, :HC] + bV.astype(yf.dtype)
+            alpha = yf[:, HC : HC + H].astype(jnp.float32) + ba[None, :]
+            alpha = nn.leaky_relu(alpha, self.negative_slope)
 
         if self.softmax_mode == "segment":
             # parity path: per-segment max softmax; does not compose with
@@ -323,16 +352,17 @@ class PMA(nn.Module):
             # Padded entries carry out-of-range src/dst ids: the clip-gather
             # reads garbage rows but the reduce drops their segment, and the
             # gather's backward drops them symmetrically — no masking needed.
-            gmax = jax.lax.stop_gradient(_colmax(alpha))  # [H]
-            gmax = jnp.maximum(gmax, 0.0)  # empty-table guard (keeps exp finite)
-            e = jnp.exp(alpha - gmax[None, :]).astype(x_V.dtype)  # [N, H] <= 1
-            parts = [x_V * _head_expand(e, C), e]
-            if kernel_active(d, HC + H) and (HC + H) % 128 != 0:
-                # Pallas DMA needs a lane-aligned minor dim; pad the packed
-                # [values | denom] source table to the next multiple of 128
-                pad = (-(HC + H)) % 128
-                parts.append(jnp.zeros((x_V.shape[0], pad), x_V.dtype))
-            w = jnp.concatenate(parts, axis=1)  # [N, HC+H(+pad)]
+            if not use_pack:
+                gmax = jax.lax.stop_gradient(_colmax(alpha))  # [H]
+                gmax = jnp.maximum(gmax, 0.0)  # empty-table guard (exp finite)
+                e = jnp.exp(alpha - gmax[None, :]).astype(x_V.dtype)  # <= 1
+                parts = [x_V * _head_expand(e, C), e]
+                if kernel_active(d, HC + H) and (HC + H) % 128 != 0:
+                    # Pallas DMA needs a lane-aligned minor dim; pad the
+                    # packed [values | denom] table to the next 128 multiple
+                    pad = (-(HC + H)) % 128
+                    parts.append(jnp.zeros((x_V.shape[0], pad), x_V.dtype))
+                w = jnp.concatenate(parts, axis=1)  # [N, HC+H(+pad)]
             agg = dir_spmm(w, d)  # fused gather+reduce, permute-free bwd
 
             from allset_tpu.ops.pallas_pma import (
