@@ -120,6 +120,9 @@ class HypergraphConv(nn.Module):
                 # compose: sl_mode tells which scale_e layout applies.
                 dv, de = shex.v2e, shex.e2v
                 if dv.sl_mode == "append":
+                    # ShardedExchange.build sets sl_mode='append' iff
+                    # inc.real is not None (parallel/sharded.py invariant)
+                    assert inc.real is not None and inc.sl_mask is not None
                     scale_e = jnp.concatenate(
                         [_safe_inv(inc.real.edge_count), inc.sl_mask]
                     )

@@ -66,9 +66,13 @@ def pack_active(d, hid_dim: int, heads: int) -> bool:
     from allset_tpu.ops.exchange import kernel_active
 
     shapes_ok = hid_dim % LANE == 0 and 1 <= heads <= LANE
+    gate = os.environ.get("ALLSET_PMA_PACK")
     if interpret_mode():
-        return shapes_ok
-    if os.environ.get("ALLSET_PMA_PACK") != "1":
+        # CI coverage path: needs its OWN opt-in so ALLSET_PMA_EPILOGUE=
+        # interpret alone doesn't silently activate the pack kernels too
+        # (advisor r4). Either value works; "interpret" reads clearest.
+        return shapes_ok and gate in ("1", "interpret")
+    if gate != "1":
         return False
     plat = jax.devices()[0].platform
     return (

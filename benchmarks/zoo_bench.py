@@ -46,7 +46,9 @@ def _want(name):
     """ZOO_ONLY=UniGCNII,HCHA runs only those legs (fresh-process retries
     after a tunnel wedge — one stuck leg then can't eat the whole sweep)."""
     only = os.environ.get("ZOO_ONLY")
-    return only is None or name in only.split(",")
+    if only is None:
+        return True
+    return name in [s.strip() for s in only.split(",")]
 
 
 def main():

@@ -47,7 +47,28 @@ CONFIGS = [
      dict(mlp_hidden=64, all_num_layers=2, lr=0.01), 20, 200),
     ("synthetic-mid/HNHN", "synthetic-mid", "HNHN",
      dict(mlp_hidden=64, all_num_layers=2, lr=0.01), 20, 200),
+    # r5 (VERDICT r4 #8): every factory-reachable family gets a band
+    ("synthetic-mid/UniGCNII", "synthetic-mid", "UniGCNII",
+     dict(mlp_hidden=64, all_num_layers=2, lr=0.01), 20, 200),
+    ("synthetic-mid/CEGCN", "synthetic-mid", "CEGCN",
+     dict(mlp_hidden=64, all_num_layers=2, lr=0.01), 20, 200),
+    ("synthetic-mid/HyperGCN", "synthetic-mid", "HyperGCN",
+     dict(mlp_hidden=64, all_num_layers=2, lr=0.01), 20, 200),
 ]
+
+
+def band_tolerance(std: float, fast_runs: int, runs: int) -> float:
+    """Accuracy-band tolerance for a fast ``fast_runs``-run replay of a
+    ``runs``-run recorded protocol: the recorded cross-run std plus 2x
+    the sampling error of the difference of the two means, floored at 1
+    accuracy point. SINGLE source of truth — tests/test_bands.py (the
+    enforced net) and scripts/check_band_sensitivity.py (the validation
+    that the net trips on injected bugs) must both use this, or the
+    sensitivity check validates a different net than the one enforced
+    (advisor r4)."""
+    import numpy as np
+
+    return max(2.0 * std * np.sqrt(1 / fast_runs + 1 / runs) + std, 1.0)
 
 
 def run_config(dataset, method, overrides, runs, epochs, seed=0):

@@ -105,6 +105,36 @@ def main():
         print(f"[ok] flagship fused-epilogue step ({dt}), "
               f"loss={float(lossF):.3f}")
 
+    # 3c) bucketed-exchange leg (VERDICT r4 #6): force bucket_rows below
+    # this graph's table sizes so ops/bucketed.py COMPILES on the chip —
+    # the default 131072 threshold means no smoke/test graph ever routed
+    # through it on hardware (a bucketed regression shipped green before
+    # this leg). Parity vs the unbucketed step closes the loop.
+    batch_b = Batch.from_hyperdata(hd, bucket=512, bucket_rows=2048)
+    assert batch_b.inc.bucket_by_node is not None, (
+        "bucket_rows=2048 did not attach the bucketed aux — the smoke "
+        "leg no longer covers ops/bucketed.py"
+    )
+    cfgB = SetGNNConfig(num_features=64, num_classes=4, all_num_layers=2,
+                        mlp_hidden=256, classifier_hidden=256,
+                        classifier_num_layers=2, heads=8, dropout=0.0,
+                        dtype="bfloat16")
+    modelB = SetGNN(cfgB)
+    vB = modelB.init({"params": jax.random.PRNGKey(0)}, batch_b, False)
+
+    def lossB(p, b):
+        return (modelB.apply(p, b, False).astype(jnp.float32) ** 2).sum()
+
+    batch_u = Batch.from_hyperdata(hd, bucket=512)  # unbucketed oracle
+    lB, gB = jax.jit(jax.value_and_grad(lossB))(vB, batch_b)
+    lU, gU = jax.jit(jax.value_and_grad(lossB))(vB, batch_u)
+    assert bool(jnp.isfinite(lB)), "non-finite bucketed loss"
+    rel = abs(float(lB) - float(lU)) / max(abs(float(lU)), 1e-9)
+    assert rel < 2e-2, f"bucketed != unbucketed: {float(lB)} vs {float(lU)}"
+    assert all(bool(jnp.isfinite(l.astype(jnp.float32)).all())
+               for l in jax.tree_util.tree_leaves(gB)), "bucketed grads"
+    print(f"[ok] bucketed exchange (K>1) fwd+bwd, loss rel-diff {rel:.1e}")
+
     # 4) vmapped statistical runs at a 128-multiple width (the runs axis
     # folds into the kernel width via ops/fold.py batching rules)
     from allset_tpu.train import TrainConfig, Trainer

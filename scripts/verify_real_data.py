@@ -130,7 +130,8 @@ def check_load(root: str, cache: str, names, noise: float):
     return ok
 
 
-def run_presets(root: str, cache: str, names, epochs: int, runs: int):
+def run_presets(root: str, cache: str, names, epochs: int, runs: int,
+                res_root: str = "hyperparameter_tunning"):
     from allset_tpu.cli import main as cli_main
     from allset_tpu.train.presets import ALLSET_TRANSFORMER_PRESETS
 
@@ -142,6 +143,7 @@ def run_presets(root: str, cache: str, names, epochs: int, runs: int):
             "--dname", name, "--method", "AllSetTransformer",
             "--data_root", root, "--cache_dir", cache,
             "--epochs", str(epochs), "--runs", str(runs),
+            "--res_root", res_root,
         ]
         if name in NOISE_DATASETS:
             argv += ["--feature_noise", str(preset.get("feature_noise", 1.0))]
@@ -167,6 +169,8 @@ def main(argv=None):
                     help="also run the tuned preset through the Trainer")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--res_root", default="hyperparameter_tunning",
+                    help="where --train appends result CSVs")
     args = ap.parse_args(argv)
 
     present = check_files(args.data_root, args.dnames)
@@ -174,7 +178,7 @@ def main(argv=None):
                         args.feature_noise)
     if args.train:
         run_presets(args.data_root, args.cache_dir, loaded,
-                    args.epochs, args.runs)
+                    args.epochs, args.runs, args.res_root)
     n_missing = len(args.dnames) - len(present)
     n_broken = len(present) - len(loaded)
     print(f"\nreadiness: {len(loaded)}/{len(args.dnames)} datasets load "

@@ -34,23 +34,22 @@ def _band(key):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("method", ["AllSetTransformer", "AllDeepSets",
-                                    "HCHA", "HNHN"])
+                                    "HCHA", "HNHN", "UniGCNII", "CEGCN",
+                                    "HyperGCN"])
 def test_synthetic_band(method):
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(BANDS_PATH), "scripts"))
-    from record_bands import run_config
+    from record_bands import band_tolerance, run_config
 
     band = _band(f"synthetic-mid/{method}")
     rec = run_config(
         band["dataset"], band["method"], band["overrides"],
         FAST_RUNS, band["epochs"], seed=band["seed"],
     )
-    # tolerance: the recorded cross-run std plus the 5-run sampling error
-    # of the mean (std * sqrt(1/5 + 1/20)), floored at 1 accuracy point
-    std = band["final_test_std"]
-    tol = max(2.0 * std * np.sqrt(1 / FAST_RUNS + 1 / band["runs"]) + std,
-              1.0)
+    # tolerance shared with scripts/check_band_sensitivity.py so the
+    # sensitivity check validates exactly this net
+    tol = band_tolerance(band["final_test_std"], FAST_RUNS, band["runs"])
     assert abs(rec["final_test_mean"] - band["final_test_mean"]) <= tol, (
         f"{method}: fast-mean {rec['final_test_mean']} outside recorded "
         f"band {band['final_test_mean']} ± {tol:.2f}"

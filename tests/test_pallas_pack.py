@@ -100,8 +100,10 @@ def test_pack_vmap_falls_back():
 def test_pma_pack_integration(monkeypatch):
     """The INTEGRATED PMA with the fused score+pack (interpret mode) must
     match the module composition: same param tree, close outputs/grads.
-    (ALLSET_PMA_EPILOGUE=interpret also turns on the fused epilogue —
-    both fused paths together, the hardware configuration.)"""
+    (ALLSET_PMA_EPILOGUE=interpret turns on the fused epilogue and
+    ALLSET_PMA_PACK=interpret the pack kernels — both fused paths
+    together, the hardware configuration. The two gates are independent
+    since r5: the epilogue env no longer implies the pack path.)"""
     from allset_tpu.data.synthetic import synthetic_hypergraph
     from allset_tpu.graph import add_self_loops, norm_construction
     from allset_tpu.graph.batch import Batch
@@ -127,6 +129,7 @@ def test_pma_pack_integration(monkeypatch):
     y_ref, g_ref = logits_and_grads(params)
 
     monkeypatch.setenv("ALLSET_PMA_EPILOGUE", "interpret")
+    monkeypatch.setenv("ALLSET_PMA_PACK", "interpret")
     params2 = model.init({"params": jax.random.PRNGKey(0)}, batch, False)["params"]
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
     for a, b in zip(jax.tree_util.tree_leaves(params),

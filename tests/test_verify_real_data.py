@@ -103,6 +103,7 @@ def test_verify_real_data_train_smoke(tmp_path, capsys):
         "--cache_dir", str(tmp_path / "cache"),
         "--dnames", "zoo",
         "--train", "--epochs", "2", "--runs", "1",
+        "--res_root", str(tmp_path / "res"),
     ])
     out = capsys.readouterr().out
     assert rc == 0, out
