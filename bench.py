@@ -77,6 +77,10 @@ def build(num_nodes, num_hyperedges, avg_edge_size, hidden, heads, seed=0):
         dropout=0.0,
         dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+        # flagship mode variants (VERDICT r4 #10): GPR stacks per-layer
+        # outputs; LearnMask adds the SDDMM norm backward
+        gpr=os.environ.get("BENCH_GPR", "0") == "1",
+        learn_mask=os.environ.get("BENCH_LEARNMASK", "0") == "1",
     )
     model = SetGNN(cfg)
     return model, batch

@@ -131,6 +131,31 @@ def main():
             print("-- by result shape:")
             for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])[:25]:
                 print(f"   {v/1e6/8:8.3f}  {k}")
+            # roofline phases (BENCH_ROOFLINE.json classification; see
+            # that file for the per-phase bound arithmetic)
+            phases = {}
+            for name, dur in items:
+                lhs = name.split(" = ")[0]  # op's own name, not operands
+                m = re.search(r"= \(?([a-z0-9]+)\[([0-9,]*)\]", name)
+                shape = m.group(2).split(",") if m and m.group(2) else []
+                rows = int(shape[0]) if shape and shape[0] else 0
+                minor = int(shape[-1]) if len(shape) > 1 and shape[-1] else 0
+                if "_sorted_segment_sum" in lhs:
+                    ph = "pallas_reduce"
+                elif name.startswith("%prop"):
+                    ph = "fused_epilogue"
+                elif rows > 400000 and minor >= 256:
+                    ph = "nnz_gather"
+                elif minor >= 128 and rows >= 32768:
+                    ph = "wide_stream"
+                elif 0 < minor <= 8 or (len(shape) == 1 and rows > 1000):
+                    ph = "narrow_chain"
+                else:
+                    ph = "small_misc"
+                phases[ph] = phases.get(ph, 0) + dur
+            print("-- roofline phases (ms/step):")
+            for k, v in sorted(phases.items(), key=lambda kv: -kv[1]):
+                print(f"   {v/1e6/8:8.3f}  {k}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,136 @@
+"""Analytic multi-chip scaling report (VERDICT r4 #5).
+
+Hardware here is ONE v5e chip, so the >=80% scaling contract
+(BASELINE.md north star) cannot be measured; this report evaluates it
+ON PAPER from quantities that ARE measured or structurally proven:
+
+  * comm bytes/step per model from ``sharded_comm_stats`` on the actual
+    bench-scale exchange — the same accounting the compiled-HLO
+    collective census enforces structurally
+    (tests/test_parallel.py::test_sharded_census_*: per direction per
+    pass, fwd = ONE [num_dst, width] reassembly all-reduce, bwd = ONE
+    [num_src, width] dw psum, LearnMask adds one [nnz] dnorm psum);
+  * measured single-chip step times (BENCH_r05 / BENCH_ZOO r4);
+  * the public v5e ICI spec: 1600 Gbit/s per chip (~200 GB/s aggregate,
+    2D torus). Ring all-reduce of B bytes over D chips moves
+    2*B*(D-1)/D per chip -> t_comm = 2*B*(D-1)/D / BW.
+
+Model: per-chip compute divides by D (edge-partitioned; the balanced
+split bounds shard skew <= 1.25x, tests/test_shard_balance.py), comm
+does not overlap (pessimistic) -> efficiency(D) = t1 / (D * (t1/D +
+t_comm)). Writes SCALING.json.
+
+Run (CPU, no TPU needed):  python scripts/scaling_report.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+ICI_GBPS = 200.0e9  # bytes/s aggregate per chip (v5e: 1600 Gbit/s)
+D = 8  # chips evaluated (one v5e host / ICI domain)
+
+
+def t_allreduce(nbytes: float, d: int = D) -> float:
+    return 2.0 * nbytes * (d - 1) / d / ICI_GBPS
+
+
+def main():
+    from allset_tpu.data.synthetic import scale_free_hypergraph
+    from allset_tpu.graph import add_self_loops, norm_construction
+    from allset_tpu.graph.batch import Batch
+    from allset_tpu.parallel.mesh import make_mesh
+    from allset_tpu.parallel.sharded import ShardedExchange, sharded_comm_stats
+
+    mesh = make_mesh(D)
+
+    # ---- flagship graph (bench.py shapes) -------------------------------
+    hd = scale_free_hypergraph(
+        num_nodes=1 << 17, num_hyperedges=1 << 16, avg_edge_size=12,
+        feature_dim=256, seed=0,
+    )
+    hd_sl = norm_construction(add_self_loops(hd), "all_one")
+    b_fl = Batch.from_hyperdata(hd_sl, bucket=1024)
+    shex_fl = ShardedExchange.build(b_fl.inc, mesh)
+    shex_fl_unsplit = ShardedExchange.build(b_fl.inc, mesh, split=False)
+
+    # ---- zoo graph (zoo_bench shapes; UniGCNII has no self-loops) -------
+    hd_z = norm_construction(hd, "all_one")
+    b_z = Batch.from_hyperdata(hd_z, bucket=1024)
+    shex_z = ShardedExchange.build(b_z.inc, mesh)
+
+    nnz_fl = b_fl.inc.nnz
+    nnz_z = b_z.inc.nnz
+
+    # measured single-chip rates (incidence edges/s, fwd+bwd+update):
+    # flagship/learn-mask/gpr from bench.py r5 runs; HCHA/UniGCNII from
+    # BENCH_ZOO_r04.json (fwd+bwd slope timing)
+    # ``widths``: exchange table width of each V2E+E2V pass (the census's
+    # all-reduce shapes). Flagship: one PMA pass at the packed 384
+    # (values | denoms | lane pad). HCHA: conv0 at hidden 256, conv1 at
+    # num_classes 8. UniGCNII: both convs at hidden 256.
+    measured = {
+        "AllSetTransformer": dict(rate=23.16e6, nnz=nnz_fl, widths=[384],
+                                  shex=shex_fl, lm=False),
+        "AllSetTransformer+LearnMask": dict(
+            rate=float(os.environ.get("LM_RATE_ME_S", 20.0e6)),
+            nnz=nnz_fl, widths=[384], shex=shex_fl_unsplit, lm=True),
+        "HCHA": dict(rate=25.65e6, nnz=nnz_fl, widths=[256, 8],
+                     shex=shex_fl, lm=False),
+        "UniGCNII": dict(rate=17.05e6, nnz=nnz_z, widths=[256, 256],
+                         shex=shex_z, lm=False),
+    }
+    if os.environ.get("LM_RATE_ME_S") is None:
+        # keep the LearnMask row honest: require the measured rate
+        measured.pop("AllSetTransformer+LearnMask")
+
+    out = {"ici_bytes_per_s": ICI_GBPS, "chips": D, "models": {}}
+    print(f"analytic scaling at D={D} chips, ICI {ICI_GBPS/1e9:.0f} GB/s "
+          f"(ring all-reduce, non-overlapped — pessimistic)\n")
+    for name, m in measured.items():
+        comm_bytes, n_re, n_ps = 0, 0, 0
+        for w in m["widths"]:
+            stats = sharded_comm_stats(m["shex"], w, itemsize=2,
+                                       learn_mask=m["lm"])
+            comm_bytes += stats["fwd_bytes"] + stats["bwd_bytes"]
+            n_re += stats["reassembly_fwd"]
+            n_ps += stats["psums_bwd"]
+        t1 = m["nnz"] / m["rate"]
+        tc = t_allreduce(comm_bytes)
+        t_d = t1 / D + tc
+        eff = t1 / (D * t_d)
+        row = {
+            "single_chip_step_s": round(t1, 6),
+            "comm_bytes_per_step": int(comm_bytes),
+            "collectives_per_step": {
+                "reassembly_allreduce_fwd": n_re,
+                "psum_bwd": n_ps,
+            },
+            "t_comm_s": round(tc, 6),
+            "step_s_at_8": round(t_d, 6),
+            "efficiency_at_8": round(eff, 4),
+            "meets_80pct": bool(eff >= 0.80),
+        }
+        out["models"][name] = row
+        print(f"{name:28s} t1={t1*1e3:6.2f} ms  comm="
+              f"{comm_bytes/1e6:7.1f} MB -> t_comm={tc*1e3:6.2f} ms  "
+              f"eff@8={eff*100:5.1f}%  "
+              f"{'OK' if row['meets_80pct'] else 'BELOW 80%'}")
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {path}")
+
+
+if __name__ == "__main__":
+    main()
