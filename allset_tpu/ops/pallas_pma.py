@@ -22,12 +22,20 @@ The [M, WP] aggregate is dir_spmm's packed layout: columns [0, HC) carry
 the attention-weighted value sums, [HC, HC+H) the per-head softmax
 denominators, and [HC+H, WP) lane padding (see PMA in nn/modules.py).
 
-vmapped statistical runs: the fused kernels sit behind JAX primitives
-whose batching rule falls back to the reference XLA composition — the
-generic pallas_call batching would transpose the run axis into row-major
-per-run blocks (a full copy of the aggregate table per step), while the
-unfused composition batches for free. Single-run training (bench, the
-sequential CLI protocol, serving) gets the fused pass.
+vmapped statistical runs (r5): the fused kernels sit behind JAX
+primitives whose batching rule re-binds them with a runs count R — the
+kernel grows an OUTER runs grid axis over the width-folded [M, R*WP]
+layout that the runs-folding segment reduce already produces
+(ops/fold.py's bdim-1 convention), so no transpose of the aggregate
+table is needed and per-step VMEM is unchanged. Per-run parameters ride
+8-sublane-padded [R*8, W] tables with per-r blocks; r is the outer grid
+axis so each run's revisited dW/dsmall accumulator blocks see
+consecutive iterations. Measured on v5e (BENCH_VMAP_r05.json): the r4
+reference-composition fallback cost 10.1% of the 8-run protocol's
+throughput; the batched kernel recovers it (+15%, efficiency 102%).
+The generic pallas_call batching would instead transpose the run axis
+into row-major per-run blocks — a full copy of the aggregate table per
+step.
 
 Numerics match the unfused flax path: LN statistics in f32 (fast-variance
 form, flax default), GEMMs in the activation dtype with their outputs
@@ -164,18 +172,20 @@ def _fwd_kernel(H, HC, L, cdt, relu, a_ref, seed_ref, g0_ref, b0_ref, W_ref,
     a = a_ref[...].astype(jnp.float32)
     Ws = [W_ref[l] for l in range(L)]
     brffs = [br_ref[0, l * HC : (l + 1) * HC] for l in range(L)]
-    r = _fwd_recompute(a, seed_ref[...], g0_ref[...], b0_ref[...], Ws,
-                       brffs, g1_ref[...], b1_ref[...], H, HC, L, cdt)
+    # small-vector refs are 8-sublane padded (Mosaic block constraint for
+    # the per-run blocks of the R > 1 grid); row 0 is the parameter
+    r = _fwd_recompute(a, seed_ref[0:1], g0_ref[0:1], b0_ref[0:1], Ws,
+                       brffs, g1_ref[0:1], b1_ref[0:1], H, HC, L, cdt)
     y = r["y"].astype(y_ref.dtype)
     # folded activation (SetGNN's inter-stage relu): one fused pass
     # instead of a separate [M, HC] read+write and its backward mask
     y_ref[...] = jnp.maximum(y, 0) if relu else y
 
 
-def _bwd_kernel(H, HC, L, nrows, cdt, relu, a_ref, gy_ref, seed_ref, g0_ref,
-                b0_ref, W_ref, br_ref, g1_ref, b1_ref, da_ref, dW_ref,
-                ds_ref):
-    i = pl.program_id(0)
+def _bwd_kernel(H, HC, L, nrows, cdt, relu, row_axis, a_ref, gy_ref,
+                seed_ref, g0_ref, b0_ref, W_ref, br_ref, g1_ref, b1_ref,
+                da_ref, dW_ref, ds_ref):
+    i = pl.program_id(row_axis)
     blk = a_ref.shape[0]
     WP = a_ref.shape[1]
 
@@ -193,8 +203,8 @@ def _bwd_kernel(H, HC, L, nrows, cdt, relu, a_ref, gy_ref, seed_ref, g0_ref,
 
     Ws = [W_ref[l] for l in range(L)]
     brffs = [br_ref[0, l * HC : (l + 1) * HC] for l in range(L)]
-    r = _fwd_recompute(a, seed_ref[...], g0_ref[...], b0_ref[...], Ws,
-                       brffs, g1_ref[...], b1_ref[...], H, HC, L, cdt)
+    r = _fwd_recompute(a, seed_ref[0:1], g0_ref[0:1], b0_ref[0:1], Ws,
+                       brffs, g1_ref[0:1], b1_ref[0:1], H, HC, L, cdt)
 
     if relu:
         # mask against the ROUNDED output, matching the unfused
@@ -204,7 +214,7 @@ def _bwd_kernel(H, HC, L, nrows, cdt, relu, a_ref, gy_ref, seed_ref, g0_ref,
         # compile on v5e (vector<...xbf16> predicate unsupported —
         # the BENCH_r03 regression).
         gy = gy * (r["y"].astype(cdt).astype(jnp.float32) > 0)
-    dout2, dg1, db1 = _ln_bwd(gy, r["xhat1"], r["rstd1"], g1_ref[...])
+    dout2, dg1, db1 = _ln_bwd(gy, r["xhat1"], r["rstd1"], g1_ref[0:1])
     dz = dout2
     # outer relu on the rFF output
     dp = dout2 * (r["pres"][-1] > 0.0)
@@ -225,7 +235,7 @@ def _bwd_kernel(H, HC, L, nrows, cdt, relu, a_ref, gy_ref, seed_ref, g0_ref,
         else:
             dz = dz + dh
 
-    dout0, dg0, db0 = _ln_bwd(dz, r["xhat0"], r["rstd0"], g0_ref[...])
+    dout0, dg0, db0 = _ln_bwd(dz, r["xhat0"], r["rstd0"], g0_ref[0:1])
     dseed = jnp.sum(dout0, axis=0)
     dv = dout0 * r["denE"]
     dden = -jax.lax.dot_general(
@@ -304,104 +314,234 @@ _epi_bwd_p = Primitive("allset_pma_epilogue_bwd")
 _epi_bwd_p.multiple_results = True
 
 
+def _pad8(v, R, W):
+    """[R, W] param rows -> [R*8, W]: each row padded to a full 8-sublane
+    tile so per-run BlockSpecs (8, W) satisfy Mosaic's block constraint
+    (last two dims divisible by (8, 128) or equal to the array's)."""
+    return jnp.pad(
+        v.reshape(R, 1, W), ((0, 0), (0, 7), (0, 0))
+    ).reshape(R * 8, W)
+
+
 def _pallas_fwd(agg, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk, interpret,
-                relu=False):
-    M, WP = agg.shape
+                relu=False, R=1):
+    """R == 1: the single-run kernel (1-D row grid, unchanged layout).
+    R > 1 (vmapped statistical runs, set by the batching rule): the runs
+    ride a SECOND outer grid axis over the width-folded [M, R*WP] layout
+    the runs-folding segment reduce already produces (ops/fold.py's
+    bdim-1 convention) — per-(r, i) blocks are identical to the
+    single-run kernel's, so the kernel body is reused verbatim and VMEM
+    per step is unchanged."""
+    M = agg.shape[0]
+    WP = agg.shape[1] // R
     HC = seed.shape[-1]
-    L = Wrff.shape[0]
+    L = Wrff.shape[-3]
     cdt = agg.dtype
-    grid = (M + blk - 1) // blk
-    vec = lambda: pl.BlockSpec((1, HC), lambda i: (0, 0))
-    y = pl.pallas_call(
-        functools.partial(_fwd_kernel, H, HC, L, cdt, relu),
-        grid=(grid,),
+    grid_rows = (M + blk - 1) // blk
+    kern = functools.partial(_fwd_kernel, H, HC, L, cdt, relu)
+    cp = None if interpret else _compiler_params(
+        blk, WP, HC, L, jnp.dtype(cdt).itemsize
+    )
+    if R == 1:
+        vec = lambda: pl.BlockSpec((8, HC), lambda i: (0, 0))
+        return pl.pallas_call(
+            kern,
+            grid=(grid_rows,),
+            in_specs=[
+                pl.BlockSpec((blk, WP), lambda i: (i, 0)),
+                vec(), vec(), vec(),
+                pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
+                pl.BlockSpec((8, L * HC), lambda i: (0, 0)),
+                vec(), vec(),
+            ],
+            out_specs=pl.BlockSpec((blk, HC), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((M, HC), cdt),
+            interpret=interpret,
+            compiler_params=cp,
+        )(agg, _pad8(seed, 1, HC), _pad8(g0, 1, HC), _pad8(b0, 1, HC),
+          Wrff, _pad8(brff, 1, L * HC), _pad8(g1, 1, HC),
+          _pad8(b1, 1, HC))
+    vec = lambda: pl.BlockSpec((8, HC), lambda r, i: (r, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(R, grid_rows),  # r OUTER so param blocks stay resident
         in_specs=[
-            pl.BlockSpec((blk, WP), lambda i: (i, 0)),
+            pl.BlockSpec((blk, WP), lambda r, i: (i, r)),
             vec(), vec(), vec(),
-            pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, L * HC), lambda i: (0, 0)),
+            pl.BlockSpec((L, HC, HC), lambda r, i: (r, 0, 0)),
+            pl.BlockSpec((8, L * HC), lambda r, i: (r, 0)),
             vec(), vec(),
         ],
-        out_specs=pl.BlockSpec((blk, HC), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((M, HC), cdt),
+        out_specs=pl.BlockSpec((blk, HC), lambda r, i: (i, r)),
+        out_shape=jax.ShapeDtypeStruct((M, R * HC), cdt),
         interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(
-            blk, WP, HC, L, jnp.dtype(cdt).itemsize
-        ),
-    )(agg, seed.reshape(1, HC), g0.reshape(1, HC), b0.reshape(1, HC),
-      Wrff, brff.reshape(1, L * HC), g1.reshape(1, HC), b1.reshape(1, HC))
-    return y
+        compiler_params=cp,
+    )(agg, _pad8(seed, R, HC), _pad8(g0, R, HC), _pad8(b0, R, HC),
+      Wrff.reshape(R * L, HC, HC), _pad8(brff.reshape(R, L * HC), R, L * HC),
+      _pad8(g1, R, HC), _pad8(b1, R, HC))
 
 
 def _pallas_bwd(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, *, H, blk,
-                interpret, relu=False):
-    M, WP = agg.shape
+                interpret, relu=False, R=1):
+    M = agg.shape[0]
+    WP = agg.shape[1] // R
     HC = seed.shape[-1]
-    L = Wrff.shape[0]
+    L = Wrff.shape[-3]
     cdt = agg.dtype
-    grid = (M + blk - 1) // blk
-    vec = lambda: pl.BlockSpec((1, HC), lambda i: (0, 0))
-    dagg, dW, dsmall = pl.pallas_call(
-        functools.partial(_bwd_kernel, H, HC, L, M, cdt, relu),
-        grid=(grid,),
+    grid_rows = (M + blk - 1) // blk
+    cp = None if interpret else _compiler_params(
+        blk, WP, HC, L, jnp.dtype(cdt).itemsize
+    )
+    if R == 1:
+        vec = lambda: pl.BlockSpec((8, HC), lambda i: (0, 0))
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, H, HC, L, M, cdt, relu, 0),
+            grid=(grid_rows,),
+            in_specs=[
+                pl.BlockSpec((blk, WP), lambda i: (i, 0)),
+                pl.BlockSpec((blk, HC), lambda i: (i, 0)),
+                vec(), vec(), vec(),
+                pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
+                pl.BlockSpec((8, L * HC), lambda i: (0, 0)),
+                vec(), vec(),
+            ],
+            out_specs=[
+                pl.BlockSpec((blk, WP), lambda i: (i, 0)),
+                pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
+                pl.BlockSpec((8, HC), lambda i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((M, WP), cdt),
+                jax.ShapeDtypeStruct((L, HC, HC), jnp.float32),
+                jax.ShapeDtypeStruct((8, HC), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=cp,
+        )(agg, gy, _pad8(seed, 1, HC), _pad8(g0, 1, HC),
+          _pad8(b0, 1, HC), Wrff, _pad8(brff, 1, L * HC),
+          _pad8(g1, 1, HC), _pad8(b1, 1, HC))
+    vec = lambda: pl.BlockSpec((8, HC), lambda r, i: (r, 0))
+    return pl.pallas_call(
+        # row program id is grid axis 1 (r outer, i inner: each run's
+        # revisited dW/ds accumulator blocks see consecutive iterations)
+        functools.partial(_bwd_kernel, H, HC, L, M, cdt, relu, 1),
+        grid=(R, grid_rows),
         in_specs=[
-            pl.BlockSpec((blk, WP), lambda i: (i, 0)),
-            pl.BlockSpec((blk, HC), lambda i: (i, 0)),
+            pl.BlockSpec((blk, WP), lambda r, i: (i, r)),
+            pl.BlockSpec((blk, HC), lambda r, i: (i, r)),
             vec(), vec(), vec(),
-            pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, L * HC), lambda i: (0, 0)),
+            pl.BlockSpec((L, HC, HC), lambda r, i: (r, 0, 0)),
+            pl.BlockSpec((8, L * HC), lambda r, i: (r, 0)),
             vec(), vec(),
         ],
         out_specs=[
-            pl.BlockSpec((blk, WP), lambda i: (i, 0)),
-            pl.BlockSpec((L, HC, HC), lambda i: (0, 0, 0)),
-            pl.BlockSpec((8, HC), lambda i: (0, 0)),
+            pl.BlockSpec((blk, WP), lambda r, i: (i, r)),
+            pl.BlockSpec((L, HC, HC), lambda r, i: (r, 0, 0)),
+            pl.BlockSpec((8, HC), lambda r, i: (r, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((M, WP), cdt),
-            jax.ShapeDtypeStruct((L, HC, HC), jnp.float32),
-            jax.ShapeDtypeStruct((8, HC), jnp.float32),
+            jax.ShapeDtypeStruct((M, R * WP), cdt),
+            jax.ShapeDtypeStruct((R * L, HC, HC), jnp.float32),
+            jax.ShapeDtypeStruct((R * 8, HC), jnp.float32),
         ],
         interpret=interpret,
-        compiler_params=None if interpret else _compiler_params(
-            blk, WP, HC, L, jnp.dtype(cdt).itemsize
-        ),
-    )(agg, gy, seed.reshape(1, HC), g0.reshape(1, HC), b0.reshape(1, HC),
-      Wrff, brff.reshape(1, L * HC), g1.reshape(1, HC), b1.reshape(1, HC))
-    return dagg, dW, dsmall
+        compiler_params=cp,
+    )(agg, gy, _pad8(seed, R, HC), _pad8(g0, R, HC), _pad8(b0, R, HC),
+      Wrff.reshape(R * L, HC, HC), _pad8(brff.reshape(R, L * HC), R, L * HC),
+      _pad8(g1, R, HC), _pad8(b1, R, HC))
 
 
 def _fwd_abstract(agg, seed, *rest, **kw):
-    return ShapedArray((agg.shape[0], seed.shape[-1]), agg.dtype)
+    R = kw.get("R", 1)
+    return ShapedArray((agg.shape[0], R * seed.shape[-1]), agg.dtype)
 
 
 def _bwd_abstract(agg, gy, seed, g0, b0, Wrff, brff, g1, b1, **kw):
     HC = seed.shape[-1]
+    R = kw.get("R", 1)
+    L = Wrff.shape[-3]
     return (
         ShapedArray(agg.shape, agg.dtype),
-        ShapedArray(Wrff.shape, jnp.float32),
-        ShapedArray((8, HC), jnp.float32),
+        ShapedArray((R * L, HC, HC) if R > 1 else Wrff.shape, jnp.float32),
+        ShapedArray((R * 8, HC), jnp.float32),
     )
+
+
+def _fold_args(args, dims):
+    """Normalize batched operands to the runs-folded bind convention:
+    agg/gy -> [M, Rb * cols] (runs into the width, ops/fold.py's bdim-1
+    layout, so a fold-produced agg reshapes for FREE), params -> leading
+    runs axis. Unbatched operands broadcast."""
+    Rb = next(a.shape[d] for a, d in zip(args, dims)
+              if d is not batching.not_mapped)
+
+    def lead(a, d):
+        if d is batching.not_mapped:
+            return jnp.broadcast_to(a[None], (Rb,) + a.shape)
+        return jnp.moveaxis(a, d, 0)
+
+    def widthfold(a, d):
+        if d is batching.not_mapped:
+            a = jnp.broadcast_to(a[:, None], (a.shape[0], Rb) + a.shape[1:])
+        else:
+            a = jnp.moveaxis(a, d, 1)
+        return a.reshape(a.shape[0], Rb * a.shape[2])
+
+    return Rb, lead, widthfold
 
 
 def _fwd_batch(args, dims, **kw):
-    in_axes = [None if d is batching.not_mapped else d for d in dims]
-    f = jax.vmap(
-        functools.partial(_reference_fwd, H=kw["H"],
-                          relu=kw.get("relu", False)),
-        in_axes=in_axes,
+    """Runs-folded kernel batching (r5; was: reference-composition
+    fallback): bind the SAME primitive with R multiplied — the kernel
+    grows an outer runs grid axis over the width-folded layout. The
+    vmapped 20-run protocol (the reference's actual workload,
+    ``src/train.py:458-499``) then rides the fused kernel; the r4
+    fallback cost 10.1% of protocol throughput (BENCH_VMAP_r05)."""
+    agg, seed, g0, b0, Wrff, brff, g1, b1 = args
+    da, ds, dg0, db0, dW, dbr, dg1, db1 = dims
+    Rb, lead, widthfold = _fold_args(args, dims)
+    R0 = kw.pop("R", 1)
+    HC = seed.shape[-1]
+    y = _epi_fwd_p.bind(
+        widthfold(agg, da), lead(seed, ds).reshape(Rb * R0, HC),
+        lead(g0, dg0).reshape(Rb * R0, HC), lead(b0, db0).reshape(Rb * R0, HC),
+        lead(Wrff, dW).reshape(Rb * R0, -1, HC, HC),
+        lead(brff, dbr).reshape(Rb * R0, -1, HC),
+        lead(g1, dg1).reshape(Rb * R0, HC), lead(b1, db1).reshape(Rb * R0, HC),
+        R=Rb * R0, **kw,
     )
-    return f(*args), 0
+    rows = y.shape[0]
+    if R0 == 1:
+        return y.reshape(rows, Rb, HC), 1
+    return y.reshape(rows, Rb, R0 * HC), 1
 
 
 def _bwd_batch(args, dims, **kw):
-    in_axes = [None if d is batching.not_mapped else d for d in dims]
-    f = jax.vmap(
-        functools.partial(_reference_bwd, H=kw["H"],
-                          relu=kw.get("relu", False)),
-        in_axes=in_axes,
+    agg, gy, seed, g0, b0, Wrff, brff, g1, b1 = args
+    da, dgy, ds, dg0, db0, dW, dbr, dg1, db1 = dims
+    Rb, lead, widthfold = _fold_args(args, dims)
+    R0 = kw.pop("R", 1)
+    HC = seed.shape[-1]
+    L = Wrff.shape[-3]
+    dagg, dWout, dsmall = _epi_bwd_p.bind(
+        widthfold(agg, da), widthfold(gy, dgy),
+        lead(seed, ds).reshape(Rb * R0, HC),
+        lead(g0, dg0).reshape(Rb * R0, HC), lead(b0, db0).reshape(Rb * R0, HC),
+        lead(Wrff, dW).reshape(Rb * R0, -1, HC, HC),
+        lead(brff, dbr).reshape(Rb * R0, -1, HC),
+        lead(g1, dg1).reshape(Rb * R0, HC), lead(b1, db1).reshape(Rb * R0, HC),
+        R=Rb * R0, **kw,
     )
-    return f(*args), (0, 0, 0)
+    rows = dagg.shape[0]
+    WPall = dagg.shape[1] // Rb
+    dagg = dagg.reshape(rows, Rb, WPall)
+    if R0 == 1:
+        dWout = dWout.reshape(Rb, L, HC, HC)
+        dsmall = dsmall.reshape(Rb, 8, HC)
+    else:
+        dWout = dWout.reshape(Rb, R0 * L, HC, HC)
+        dsmall = dsmall.reshape(Rb, R0 * 8, HC)
+    return (dagg, dWout, dsmall), (1, 0, 0)
 
 
 _epi_fwd_p.def_impl(functools.partial(_pallas_fwd))

@@ -147,6 +147,18 @@ def main():
             TrainConfig(epochs=3, runs=2, lr=0.01, wd=0.0, seed=0),
             tx=tx4).fit()
     print("[ok] vmapped zoo run at width 256 (runs folded into the kernel)")
+
+    # 4b) vmapped FLAGSHIP runs: compiles the R>1 batched epilogue kernel
+    # (ops/pallas_pma.py runs-grid-axis path, r5) on the chip — the
+    # width-64 and HCHA legs never route through it
+    cfg5 = ExperimentConfig(method="AllSetTransformer", epochs=3, runs=2,
+                            all_num_layers=1, mlp_hidden=256, heads=8)
+    model5, batch5, tx5 = prepare(cfg5, hd)
+    r5 = Trainer(model5, batch5,
+                 TrainConfig(epochs=3, runs=2, lr=0.01, wd=0.0, seed=0),
+                 tx=tx5).fit()
+    assert np.all(np.isfinite(r5.metrics)), "vmapped flagship non-finite"
+    print("[ok] vmapped flagship runs (R>1 batched epilogue kernel)")
     print("TPU smoke: ALL OK")
 
 
