@@ -54,27 +54,80 @@ class DGLGATConv(nn.Module):
     @nn.compact
     def __call__(self, g: Incidence, x: Array, train: bool = False) -> Array:
         H, C = self.heads, self.out_channels
+        HC = H * C
         x = nn.Dropout(self.feat_drop)(x, deterministic=not train)
-        w = self.param("fc", xavier_normal_gain(np.sqrt(2.0)), (x.shape[-1], H * C))
-        h = x @ w  # flat [T, H*C]
+        w = self.param("fc", xavier_normal_gain(np.sqrt(2.0)), (x.shape[-1], HC))
         attn_l = self.param("attn_l", xavier_normal_gain(np.sqrt(2.0)), (1, H, C))
         attn_r = self.param("attn_r", xavier_normal_gain(np.sqrt(2.0)), (1, H, C))
-        el = (h.reshape(-1, H, C) * attn_l).sum(-1)  # [T, H]
-        er = (h.reshape(-1, H, C) * attn_r).sum(-1)
-        alpha = gather_rows(el, g.node) + gather_rows(er, g.edge)
-        alpha = nn.leaky_relu(alpha, self.negative_slope)
-        alpha = segment_softmax(
-            alpha, g.edge, g.num_edges, mask=g.mask,
-            indices_are_sorted=g.node_perm is not None,
-        )
-        alpha = nn.Dropout(self.attn_drop)(alpha, deterministic=not train)
+
         if g.node_perm is not None:
-            from allset_tpu.ops.exchange import dir_gather, dir_reduce
+            # PMA-style packed path (r5): the el/er score projections fold
+            # into the feature GEMM as block one-hot column blocks, the
+            # softmax uses a GLOBAL per-head shift — exact by shift
+            # invariance: leaky_relu is monotone, so leaky(colmax(el) +
+            # colmax(er)) upper-bounds every score (the PMA 'global' mode
+            # argument) — and ONE packed [h*e | e] sorted reduce replaces
+            # the narrow [nnz, H] segment max/sum chain. [nnz, 8]-minor
+            # segment ops physically occupy 128 lanes and measured 5.6 M
+            # pairs/s at bench scale; this path removes them
+            # (BENCH_HAN_r05.json). Math matches the reference path below.
+            from allset_tpu.nn.modules import _colmax
+            from allset_tpu.ops.exchange import (
+                dir_gather, dir_reduce, kernel_active,
+            )
+            from allset_tpu.ops.pallas_pma import _expand_mat
 
             d = g.v2e()
-            msg = dir_gather(h, d) * _head_expand(alpha.astype(h.dtype), C)
-            out = dir_reduce(msg, d, "add").astype(h.dtype)
+            blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (HC, H), 0) // C
+                == jax.lax.broadcasted_iota(jnp.int32, (HC, H), 1)
+            )
+            Pl = jnp.where(blk, attn_l.reshape(HC)[:, None], 0.0)
+            Pr = jnp.where(blk, attn_r.reshape(HC)[:, None], 0.0)
+            Wf = jnp.concatenate([w, w @ Pl, w @ Pr], axis=1)
+            yf = x @ Wf  # ONE GEMM: [values | el | er]
+            h = yf[:, :HC]
+            el = yf[:, HC : HC + H].astype(jnp.float32)
+            er = yf[:, HC + H :].astype(jnp.float32)
+            gmax = jax.lax.stop_gradient(
+                nn.leaky_relu(_colmax(el) + _colmax(er), self.negative_slope)
+            )
+            gmax = jnp.maximum(gmax, 0.0)  # empty-table guard
+            packed = jnp.concatenate([h, el.astype(h.dtype)], axis=1)
+            pj = dir_gather(packed, d)  # [nnz, HC+H]
+            er_j = jnp.take(er, d.dst, axis=0, mode="clip")
+            s = nn.leaky_relu(
+                pj[:, HC:].astype(jnp.float32) + er_j, self.negative_slope
+            )
+            e = jnp.exp(s - gmax[None, :])
+            # DGL drops the NORMALIZED alphas; mask*e/den == mask*(e/den),
+            # so dropout rides the numerator while the denominator stays
+            # undropped (same bernoulli shape as the reference's alpha)
+            e_num = nn.Dropout(self.attn_drop)(e, deterministic=not train)
+            P = _expand_mat(H, HC)
+            parts = [
+                pj[:, :HC] * (e_num.astype(h.dtype) @ P.astype(h.dtype)),
+                e.astype(h.dtype),
+            ]
+            if kernel_active(d, HC + H) and (HC + H) % 128 != 0:
+                parts.append(jnp.zeros(
+                    (pj.shape[0], (-(HC + H)) % 128), h.dtype
+                ))
+            agg = dir_reduce(jnp.concatenate(parts, axis=1), d, "add")
+            den = jnp.maximum(agg[:, HC : HC + H].astype(jnp.float32), 1e-16)
+            out = (agg[:, :HC].astype(jnp.float32)
+                   / (den @ P)).astype(h.dtype)
         else:
+            h = x @ w  # flat [T, H*C]
+            el = (h.reshape(-1, H, C) * attn_l).sum(-1)  # [T, H]
+            er = (h.reshape(-1, H, C) * attn_r).sum(-1)
+            alpha = gather_rows(el, g.node) + gather_rows(er, g.edge)
+            alpha = nn.leaky_relu(alpha, self.negative_slope)
+            alpha = segment_softmax(
+                alpha, g.edge, g.num_edges, mask=g.mask,
+                indices_are_sorted=False,
+            )
+            alpha = nn.Dropout(self.attn_drop)(alpha, deterministic=not train)
             msg = gather_rows(h, g.node) * _head_expand(alpha, C)
             out = segment_sum(msg, g.edge, g.num_edges)
         if self.use_elu:
@@ -112,10 +165,16 @@ class HAN(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Batch, train: bool = False) -> Array:
-        """batch.extras carries the flattened VEV/EVE graphs."""
+        """batch.extras carries the VEV/EVE metapath graphs — as full
+        Incidence pytrees (r5: ``han_extras`` keeps the sorted/kernel aux
+        so DGLGATConv's packed path engages; the flat legacy keys are
+        still accepted for old callers, at slow-path cost)."""
         c = self.cfg
         graphs = []
         for name in ("vev", "eve"):
+            if name in batch.extras:
+                graphs.append(batch.extras[name])
+                continue
             graphs.append(
                 Incidence(
                     node=batch.extras[f"{name}_node"],
@@ -215,10 +274,6 @@ class SampledHAN(nn.Module):
 
 
 def han_extras(vev: Incidence, eve: Incidence) -> dict:
-    out = {}
-    for name, g in (("vev", vev), ("eve", eve)):
-        out[f"{name}_node"] = g.node
-        out[f"{name}_edge"] = g.edge
-        out[f"{name}_norm"] = g.norm
-        out[f"{name}_mask"] = g.mask
-    return out
+    """Full Incidence pytrees (r5): keeps the sorted-order and kernel aux
+    so the GAT conv's packed sorted path engages."""
+    return {"vev": vev, "eve": eve}

@@ -37,17 +37,23 @@ def _want(name):
 
 
 def main():
-    from allset_tpu.data.synthetic import scale_free_hypergraph
+    from allset_tpu.data.synthetic import synthetic_hypergraph
     from allset_tpu.graph.batch import Batch
     from allset_tpu.graph.metapath import build_metapath_graphs
     from allset_tpu.models.han import HAN, HANConfig, han_extras
 
+    # Degree-BOUNDED graph (planted partition, near-uniform membership):
+    # metapath graphs are quadratic in per-node degree (EVE pairs =
+    # sum_v deg_v^2), so the zoo's Zipf scale_free generator explodes —
+    # measured 1.07e9 EVE pairs at 2^16 nodes (17 min of SpGEMM). The
+    # reference's HAN datasets (walmart-export) are likewise
+    # moderate-degree; this matches that regime at a defensible scale.
     N = int(os.environ.get("HAN_NODES", 1 << 16))
     M = int(os.environ.get("HAN_EDGES", 1 << 15))
     F = int(os.environ.get("HAN_FEATS", 64))
-    hd = scale_free_hypergraph(
+    hd = synthetic_hypergraph(
         num_nodes=N, num_hyperedges=M, avg_edge_size=12,
-        feature_dim=F, seed=0,
+        num_classes=8, feature_dim=F, seed=0,
     )
 
     t0 = time.perf_counter()
@@ -108,7 +114,9 @@ def main():
                 )(p)
                 return jax.tree_util.tree_map(lambda a, b: a - 0.0 * b, p, g)
 
-            t = scan_time(body, v, K=(16, 80))
+            # sub-ms steps need a wide scan span: the tunnel's ~250 ms
+            # fetch noise swamps a (16, 80) slope at these sizes
+            t = scan_time(body, v, K=(256, 4096) if B <= 256 else (64, 1024))
             print(f"SampledHAN[B={B:4d}] step: {t*1e3:7.3f} ms  "
                   f"({B/t/1e3:8.1f} K seeds/s device; host sampler "
                   f"{B/t_sample/1e3:8.1f} K seeds/s)")

@@ -35,6 +35,45 @@ def test_metapath_blocks():
     np.testing.assert_array_equal(got, vev_dense)
 
 
+def test_gatconv_packed_path_matches_reference():
+    """DGLGATConv's sorted packed path (folded score GEMM + global-shift
+    softmax + one packed reduce, r5) must match the unsorted reference
+    composition (per-segment softmax) on values AND grads."""
+    import dataclasses
+
+    import jax
+
+    from allset_tpu.models.han import DGLGATConv
+
+    hd = synthetic_hypergraph(num_nodes=60, num_hyperedges=25, seed=2)
+    feats, labels, vev, eve = build_metapath_graphs(hd, bucket=64)
+    conv = DGLGATConv(out_channels=8, heads=4, feat_drop=0.0, attn_drop=0.0)
+    x = jnp.asarray(feats, jnp.float32)
+    v = conv.init({"params": jax.random.PRNGKey(0)}, vev, x, False)
+    assert vev.node_perm is not None  # fast path active
+
+    def loss(v, g):
+        return jnp.sum(conv.apply(v, g, x, False).astype(jnp.float32) ** 2)
+
+    g_slow = dataclasses.replace(vev, node_perm=None)  # reference path
+    y_fast = conv.apply(v, vev, x, False)
+    y_slow = conv.apply(v, g_slow, x, False)
+    np.testing.assert_allclose(
+        np.asarray(y_fast), np.asarray(y_slow), rtol=1e-5, atol=1e-5
+    )
+    gf = jax.grad(loss)(v, vev)
+    gs = jax.grad(loss)(v, g_slow)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gf),
+        jax.tree_util.tree_leaves_with_path(gs),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=str(ka),
+        )
+
+
 @pytest.mark.slow
 def test_han_trains_and_learns():
     hd = synthetic_hypergraph(
