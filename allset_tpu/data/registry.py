@@ -100,6 +100,22 @@ def load_dataset(
             from allset_tpu.data.synthetic import cornell_like_hypergraph
 
             return cornell_like_hypergraph(feature_noise=noise, seed=seed)
+        if name == "synthetic-att":
+            # attention-load-bearing band dataset (r5): hyperedges mix
+            # anchor-class members with paired-class (a^1) imitators
+            # plus a marker column only per-member attention can
+            # exploit; at depth 1, mean pooling (what a broken PMA score
+            # chain degenerates to) collides the paired classes and
+            # loses ~15 accuracy points, so the AllSetTransformer band
+            # TRIPS on attention-math bugs (data/synthetic.py
+            # distractor_hypergraph docstring has the design history)
+            from allset_tpu.data.synthetic import distractor_hypergraph
+
+            return distractor_hypergraph(
+                num_nodes=2000, num_hyperedges=1200, num_classes=4,
+                avg_edge_size=12, distractor_frac=0.4,
+                distractor_scale=2.0, feature_noise=noise, seed=seed,
+            )
         if name == "synthetic-mid":
             # band-recording size (VERDICT r3 weak #5): the 500-node
             # synthetic's 125-node test split makes cross-run std 3-8

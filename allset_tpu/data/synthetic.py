@@ -70,6 +70,86 @@ def synthetic_hypergraph(
     )
 
 
+def distractor_hypergraph(
+    num_nodes: int = 2000,
+    num_hyperedges: int = 1200,
+    num_classes: int = 4,
+    avg_edge_size: int = 12,
+    distractor_frac: float = 0.5,
+    distractor_scale: float = 3.0,
+    feature_noise: float = 1.0,
+    seed: int = 0,
+) -> HyperData:
+    """Planted partition where ATTENTION is load-bearing.
+
+    ``distractor_frac`` of the nodes are distractors: unlabeled (-1,
+    excluded from splits per the reference convention) whose features
+    IMITATE a fixed fake class (one-hot + noise, same scale as real
+    members) plus a MARKER feature column (last dim ~
+    ``distractor_scale`` for distractors, ~0 for informative nodes).
+    Each hyperedge is a COLLISION instrument: anchored at class ``a``,
+    it mixes same-class informative members with an equal number of
+    distractors faking the PAIRED class ``a ^ 1``. Under mean pooling —
+    what a broken PMA score chain degenerates to — an anchor-0 edge and
+    an anchor-1 edge produce the IDENTICAL mixture (e0+e1)/2, so paired
+    classes become information-theoretically indistinguishable (~50%
+    ceiling) and no later per-node transform can recover them; a merely
+    class-SHIFTED confuser leaves each class a unique mixture signature
+    the classifier decodes (r5 probe history: (a+1)%C cost uniform
+    attention only 1.5 points). Per-member attention keyed on the marker
+    column removes the confusers before pooling and restores ~99%. Use
+    with all_num_layers=1: at depth >= 2 the between-round node-wise
+    nonlinearity can gate marker-carrying NODES without attention (the
+    r5 history again: depth-2 uniform attention reached 99.5 even with
+    markers). Built so the AllSetTransformer accuracy band actually
+    TRIPS on attention-math bugs (scripts/check_band_sensitivity.py).
+    """
+    rng = np.random.default_rng(seed)
+    n_dis = int(num_nodes * distractor_frac)
+    n_inf = num_nodes - n_dis
+    y = np.concatenate([
+        rng.integers(0, num_classes, size=n_inf),
+        np.full(n_dis, -1, dtype=np.int64),
+    ])
+    class_members = [np.where(y == c)[0] for c in range(num_classes)]
+    fake_class = rng.integers(0, num_classes, size=n_dis)
+    fake_members = [
+        n_inf + np.where(fake_class == c)[0] for c in range(num_classes)
+    ]
+
+    nodes, edges = [], []
+    for e in range(num_hyperedges):
+        k = max(4, rng.poisson(avg_edge_size))
+        k_inf = max(2, k // 2)
+        anchor = int(rng.integers(0, num_classes))
+        confuser = anchor ^ 1  # paired-class collision (even num_classes)
+        members = set(
+            int(v) for v in rng.choice(class_members[anchor], k_inf)
+        )
+        members |= set(
+            int(v) for v in rng.choice(fake_members[confuser], k - k_inf)
+        )
+        for v in members:
+            nodes.append(v)
+            edges.append(e)
+    node, edge = coalesce(np.array(nodes), np.array(edges))
+
+    feats = np.zeros((num_nodes, num_classes + 1), dtype=np.float64)
+    feats[np.arange(n_inf), y[:n_inf]] = 1.0
+    feats[np.arange(n_inf, num_nodes), fake_class] = 1.0
+    feats[n_inf:, num_classes] = distractor_scale  # the marker column
+    feats = rng.normal(feats, feature_noise)
+
+    return HyperData(
+        x=feats.astype(np.float32),
+        y=y.astype(np.int64),
+        node=node,
+        edge=edge,
+        num_nodes=num_nodes,
+        num_hyperedges=num_hyperedges,
+    )
+
+
 def scale_free_hypergraph(
     num_nodes: int,
     num_hyperedges: int,

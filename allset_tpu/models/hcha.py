@@ -115,7 +115,7 @@ class HypergraphConv(nn.Module):
 
             if shex is not None:
                 # explicit shard_map edge-partitioned exchange (multi-chip;
-                # parallel/sharded.py — fwd one reassembly all-reduce, bwd
+                # parallel/sharded.py — fwd one reassembly all-gather, bwd
                 # one dw psum per direction). Split and unsplit builds both
                 # compose: sl_mode tells which scale_e layout applies.
                 dv, de = shex.v2e, shex.e2v

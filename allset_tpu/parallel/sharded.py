@@ -13,8 +13,8 @@ reduce stays SORTED and routes through the Pallas kernel:
     source table and sorted-segment-reduces into its own output rows.
     The only forward collective is the output reassembly — the sharded
     [num_dst/D, F] blocks replicate for the next exchange's gather as
-    ONE all-reduce of the zero-padded blocks (an all-gather equivalent;
-    GSPMD inserts it at the replication boundary). That is the minimum:
+    ONE explicit ALL-GATHER (r5; left implicit, GSPMD replicated them as
+    a zero-padded all-reduce at 2x the wire bytes). That is the minimum:
     new destination states must reach every chip that will gather them;
   * the backward computes per-shard partial ``dw`` (sorted reduce over
     the shard's entries grouped by src) and combines with ONE
@@ -381,15 +381,22 @@ def _traced_norm(norm_c, perm):
 
 
 def _local_fwd(meta, w, norm_c, src, dst_local, norm, indptr, perm):
-    rows_per_shard, _, s_blk, chunk, norm_mode, (_, _, mesh), _, _ = meta
+    rows_per_shard, _, s_blk, chunk, norm_mode, (_, _, mesh), axis, _ = meta
     msgs = jnp.take(w, src[0], axis=0, mode="clip")
     if norm_mode:
         n = norm[0] if norm_mode == 1 else _traced_norm(norm_c, perm)
         msgs = msgs * n[:, None].astype(msgs.dtype)
-    return _sorted_sum(
+    part = _sorted_sum(
         msgs, dst_local[0], indptr[0], rows_per_shard, rows_per_shard,
         _shard_view(s_blk, chunk, mesh),
     )
+    # EXPLICIT all-gather (r5): shards own disjoint dst row blocks, so
+    # reassembly is concatenation. Leaving the output P(axis)-sharded let
+    # GSPMD replicate it as a zero-padded ALL-REDUCE — 2x the wire bytes
+    # of the all-gather this logically is (ring: B(D-1)/D vs 2B(D-1)/D
+    # per chip). SCALING.json quantifies the difference against the ICI
+    # budget; the collective census pins the all-gather structurally.
+    return jax.lax.all_gather(part, axis, axis=0, tiled=True)
 
 
 def _local_bwd(meta, g_shard, norm_c, w, dst_srcsort_local, src_sorted,
@@ -425,7 +432,7 @@ def _sharded_core_impl(meta, w, norm_c, sd):
         functools.partial(_local_fwd, meta),
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        out_specs=P(),  # replicated by the body's explicit all-gather
         check_vma=False,
     )
     out = fwd(w, norm_c, sd.src, sd.dst_local, sd.norm, sd.block_indptr,
@@ -525,18 +532,26 @@ def sharded_comm_stats(shex: "ShardedExchange", width: int,
     quantified; structurally enforced on the compiled HLO by
     tests/test_parallel.py::test_sharded_step_collective_census):
 
-      * forward: ONE output-reassembly all-reduce per direction
-        (``[num_dst, width]`` zero-padded blocks; all-gather equivalent)
+      * forward: ONE explicit output-reassembly ALL-GATHER per direction
+        (r5; ``[D * rows_per_shard, width]`` stacked disjoint blocks —
+        ring cost B(D-1)/D per chip, half an all-reduce's wire bytes)
         — no input communication, segments never straddle shards;
-      * backward: ONE psum per direction of the replicated-source
-        cotangent ``dw [num_src, width]``, plus (LearnMask) one psum of
-        the canonical-order ``dnorm [nnz_pad_canon]`` per direction.
+      * backward: ONE psum (all-reduce, ring cost 2B(D-1)/D) per
+        direction of the replicated-source cotangent
+        ``dw [num_src, width]``, plus (LearnMask) one psum of the
+        canonical-order ``dnorm [nnz_pad_canon]`` per direction.
+
+    ``fwd_bytes``/``bwd_bytes`` are collective PAYLOAD bytes; multiply by
+    the ring factors above for per-chip wire traffic (scripts/
+    scaling_report.py does).
     """
     out = {"reassembly_fwd": 0, "psums_bwd": 0,
            "fwd_bytes": 0, "bwd_bytes": 0}
     for sd in (shex.v2e, shex.e2v):
         out["reassembly_fwd"] += 1
-        out["fwd_bytes"] += sd.num_dst * width * itemsize
+        out["fwd_bytes"] += (
+            sd.rows_per_shard * sd.num_shards * width * itemsize
+        )
         out["psums_bwd"] += 1
         out["bwd_bytes"] += sd.num_src * width * itemsize
         if learn_mask:

@@ -47,6 +47,18 @@ CONFIGS = [
      dict(mlp_hidden=64, all_num_layers=2, lr=0.01), 20, 200),
     ("synthetic-mid/HNHN", "synthetic-mid", "HNHN",
      dict(mlp_hidden=64, all_num_layers=2, lr=0.01), 20, 200),
+    # r5: attention-load-bearing flagship band — on synthetic-mid even a
+    # DEAD score chain lands inside the band (uniform attention matches
+    # learned attention on plain planted partitions), so attention-math
+    # bugs need this row to trip (data/registry.py synthetic-att notes)
+    # all_num_layers=1 (depth >= 2 gates distractor NODES through the
+    # between-round nonlinearity without attention); lr=0.003 x 600
+    # epochs (at lr=0.01 a minority of runs never escape the
+    # uniform-attention plateau — 20-run std 12-18 points). Probe r5:
+    # normal 99.00 ± 0.63 vs dead-score-chain 84.20 ± 2.29.
+    ("synthetic-att/AllSetTransformer", "synthetic-att", "AllSetTransformer",
+     dict(heads=4, mlp_hidden=64, classifier_hidden=64, lr=0.003,
+          all_num_layers=1), 20, 600),
     # r5 (VERDICT r4 #8): every factory-reachable family gets a band
     ("synthetic-mid/UniGCNII", "synthetic-mid", "UniGCNII",
      dict(mlp_hidden=64, all_num_layers=2, lr=0.01), 20, 200),

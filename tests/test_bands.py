@@ -33,16 +33,22 @@ def _band(key):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("method", ["AllSetTransformer", "AllDeepSets",
-                                    "HCHA", "HNHN", "UniGCNII", "CEGCN",
-                                    "HyperGCN"])
-def test_synthetic_band(method):
+@pytest.mark.parametrize("key", [
+    "synthetic-mid/AllSetTransformer", "synthetic-mid/AllDeepSets",
+    "synthetic-mid/HCHA", "synthetic-mid/HNHN", "synthetic-mid/UniGCNII",
+    "synthetic-mid/CEGCN", "synthetic-mid/HyperGCN",
+    # attention-load-bearing flagship row (r5): the band whose trips
+    # prove attention-math regressions (scripts/check_band_sensitivity)
+    "synthetic-att/AllSetTransformer",
+])
+def test_synthetic_band(key):
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(BANDS_PATH), "scripts"))
     from record_bands import band_tolerance, run_config
 
-    band = _band(f"synthetic-mid/{method}")
+    method = key.split("/")[1]
+    band = _band(key)
     rec = run_config(
         band["dataset"], band["method"], band["overrides"],
         FAST_RUNS, band["epochs"], seed=band["seed"],

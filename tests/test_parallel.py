@@ -417,9 +417,9 @@ def _collective_census(txt):
 def test_sharded_step_collective_census(rng):
     """Prove parallel/sharded.py's communication claims on the COMPILED
     program (VERDICT r2 #4): per exchange, the forward carries exactly
-    one output-reassembly all-reduce ([num_dst, W] zero-padded blocks; an
-    all-gather equivalent at the replication boundary) and the backward
-    exactly one dw psum ([num_src, W]); no all-gather / all-to-all /
+    one explicit output-reassembly ALL-GATHER (r5; [D*rows_per_shard, W]
+    stacked disjoint blocks — half an all-reduce's wire bytes) and the
+    backward exactly one dw psum ([num_src, W]); no all-to-all /
     collective-permute / reduce-scatter anywhere. Multi-chip hardware is
     unavailable in this environment, so compiled-HLO inspection is the
     scaling evidence (SURVEY.md §4 item 4)."""
@@ -464,11 +464,15 @@ def test_sharded_step_collective_census(rng):
         jax.jit(lambda v, b: model.apply(v, b, False)).lower(v, bsh).compile().as_text()
     )
     census_f = _collective_census(fwd_txt)
-    # forward: one reassembly all-reduce per exchange, nothing else
-    assert census_f == {
-        ("all-reduce", f"f32[{m_dst},{W}]"): L,
-        ("all-reduce", f"f32[{n_dst},{W}]"): L,
-    }, census_f
+    # forward: one reassembly all-gather per exchange, nothing else
+    from collections import Counter
+
+    g_v = 8 * shex.v2e.rows_per_shard
+    g_e = 8 * shex.e2v.rows_per_shard
+    want_f = Counter()
+    want_f[("all-gather", f"f32[{g_v},{W}]")] += L
+    want_f[("all-gather", f"f32[{g_e},{W}]")] += L
+    assert census_f == want_f, census_f
 
     def loss(v, b):
         out = model.apply(v, b, False)
@@ -477,14 +481,10 @@ def test_sharded_step_collective_census(rng):
     step_txt = jax.jit(jax.grad(loss)).lower(v, bsh).compile().as_text()
     census_s = _collective_census(step_txt)
     # step = forward census + exactly one dw psum per exchange backward:
-    # V2E's dw is [num_nodes, W], E2V's dw is [num_edges, W] (shapes
-    # coincide with the reassemblies on this graph, so sum Counters)
-    from collections import Counter
-
-    want = Counter()
+    # V2E's dw is [num_nodes, W], E2V's dw is [num_edges, W]
+    want = Counter(want_f)
     for shape, cnt in [
-        (f"f32[{m_dst},{W}]", L), (f"f32[{n_dst},{W}]", L),  # reassembly
-        (f"f32[{n},{W}]", L), (f"f32[{m},{W}]", L),          # dw psums
+        (f"f32[{n},{W}]", L), (f"f32[{m},{W}]", L),  # dw psums
     ]:
         want[("all-reduce", shape)] += cnt
     assert census_s == want, census_s
@@ -492,7 +492,7 @@ def test_sharded_step_collective_census(rng):
     # the accounting helper agrees with the census (per V2E+E2V pass)
     stats = sharded_comm_stats(shex, W)
     assert stats["reassembly_fwd"] == 2 and stats["psums_bwd"] == 2
-    assert stats["fwd_bytes"] == (m_dst + n_dst) * W * 4
+    assert stats["fwd_bytes"] == (g_v + g_e) * W * 4
     assert stats["bwd_bytes"] == (n + m) * W * 4
 
 
@@ -603,14 +603,15 @@ def test_sharded_census_hcha():
 
     census_f, census_s = _census_pair(model, v, bsh)
     widths = [32, batch.y.max().item() + 1]  # conv0 hidden, conv1 classes
-    m_dst, n_dst = shex.v2e.num_dst, shex.e2v.num_dst
+    g_v = 8 * shex.v2e.rows_per_shard
+    g_e = 8 * shex.e2v.rows_per_shard
     n_src, m_src = shex.v2e.num_src, shex.e2v.num_src
     want_f, want_s = Counter(), Counter()
     for w in widths:
-        want_f[("all-reduce", f"f32[{m_dst},{w}]")] += 1
-        want_f[("all-reduce", f"f32[{n_dst},{w}]")] += 1
-        want_s[("all-reduce", f"f32[{m_dst},{w}]")] += 1
-        want_s[("all-reduce", f"f32[{n_dst},{w}]")] += 1
+        want_f[("all-gather", f"f32[{g_v},{w}]")] += 1
+        want_f[("all-gather", f"f32[{g_e},{w}]")] += 1
+        want_s[("all-gather", f"f32[{g_v},{w}]")] += 1
+        want_s[("all-gather", f"f32[{g_e},{w}]")] += 1
         want_s[("all-reduce", f"f32[{n_src},{w}]")] += 1
         want_s[("all-reduce", f"f32[{m_src},{w}]")] += 1
     assert census_f == want_f, (census_f, want_f)
@@ -634,16 +635,15 @@ def test_sharded_census_unigcnii():
 
     census_f, census_s = _census_pair(model, v, bsh)
     L, nhid = 2, 32
-    m_dst, n_dst = shex.v2e.num_dst, shex.e2v.num_dst
+    g_v = 8 * shex.v2e.rows_per_shard
+    g_e = 8 * shex.e2v.rows_per_shard
     n_src, m_src = shex.v2e.num_src, shex.e2v.num_src
-    want_f = Counter({
-        ("all-reduce", f"f32[{m_dst},{nhid}]"): L,
-        ("all-reduce", f"f32[{n_dst},{nhid}]"): L,
-    })
-    want_s = want_f + Counter({
-        ("all-reduce", f"f32[{n_src},{nhid}]"): L,
-        ("all-reduce", f"f32[{m_src},{nhid}]"): L,
-    })
+    want_f = Counter()
+    want_f[("all-gather", f"f32[{g_v},{nhid}]")] += L
+    want_f[("all-gather", f"f32[{g_e},{nhid}]")] += L  # may collide: +=
+    want_s = Counter(want_f)
+    want_s[("all-reduce", f"f32[{n_src},{nhid}]")] += L
+    want_s[("all-reduce", f"f32[{m_src},{nhid}]")] += L
     assert census_f == want_f, (census_f, want_f)
     assert census_s == want_s, (census_s, want_s)
 
@@ -671,18 +671,17 @@ def test_sharded_census_learnmask():
 
     census_f, census_s = _census_pair(model, v, bsh)
     L, W = 2, 32
-    m_dst, n_dst = shex.v2e.num_dst, shex.e2v.num_dst
+    g_v = 8 * shex.v2e.rows_per_shard
+    g_e = 8 * shex.e2v.rows_per_shard
     n_src, m_src = shex.v2e.num_src, shex.e2v.num_src
     nnz_pad = shex.v2e.nnz_pad_canon
-    want_f = Counter({
-        ("all-reduce", f"f32[{m_dst},{W}]"): L,
-        ("all-reduce", f"f32[{n_dst},{W}]"): L,
-    })
-    want_s = want_f + Counter({
-        ("all-reduce", f"f32[{n_src},{W}]"): L,
-        ("all-reduce", f"f32[{m_src},{W}]"): L,
-        ("all-reduce", f"f32[{nnz_pad}]"): 2 * L,  # dnorm SDDMM psums
-    })
+    want_f = Counter()
+    want_f[("all-gather", f"f32[{g_v},{W}]")] += L
+    want_f[("all-gather", f"f32[{g_e},{W}]")] += L  # may collide: +=
+    want_s = Counter(want_f)
+    want_s[("all-reduce", f"f32[{n_src},{W}]")] += L
+    want_s[("all-reduce", f"f32[{m_src},{W}]")] += L
+    want_s[("all-reduce", f"f32[{nnz_pad}]")] += 2 * L  # dnorm SDDMM psums
     assert census_f == want_f, (census_f, want_f)
     assert census_s == want_s, (census_s, want_s)
 
