@@ -304,6 +304,22 @@ class PMA(nn.Module):
             and not self.return_attention
             and pack_active(d, HC, H)
         )
+        # ShardedDirection + supported shapes: route through the fused
+        # sharded spmm+epilogue (parallel/sharded.py) further below; the
+        # decision is hoisted here so the score/pack chain can be pinned
+        # replicated at its head (GSPMD otherwise reshards it through
+        # dynamic-slice/all-gather round trips around the shard_map)
+        _shard_epi = False
+        if (
+            getattr(d, "mesh", None) is not None
+            and not self.return_attention
+            and self.softmax_mode != "segment"
+        ):
+            from allset_tpu.parallel.sharded import sharded_epilogue_active
+
+            _shard_epi = sharded_epilogue_active(
+                d, HC, H, self.num_layers, self.out_dim
+            )
         if use_pack:
             # fused score+pack (ops/pallas_pack.py): the GEMM emits yf
             # lane-padded with zero Wf columns (the HC+H -> WP pad already
@@ -326,6 +342,12 @@ class PMA(nn.Module):
         else:
             Wf = jnp.concatenate([WV, Wa], axis=1)  # [in_dim, HC+H] f32 params
             yf = xc @ Wf.astype(xc.dtype)
+            if _shard_epi:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                yf = jax.lax.with_sharding_constraint(
+                    yf, NamedSharding(d.mesh, PartitionSpec())
+                )
             x_V = yf[:, :HC] + bV.astype(yf.dtype)
             alpha = yf[:, HC : HC + H].astype(jnp.float32) + ba[None, :]
             alpha = nn.leaky_relu(alpha, self.negative_slope)
@@ -363,6 +385,28 @@ class PMA(nn.Module):
                     pad = (-(HC + H)) % 128
                     parts.append(jnp.zeros((x_V.shape[0], pad), x_V.dtype))
                 w = jnp.concatenate(parts, axis=1)  # [N, HC+H(+pad)]
+
+            if _shard_epi:
+                # ShardedDirection: run the fused epilogue PER SHARD
+                # inside the exchange's shard_map (parallel/sharded.py) —
+                # the all-gather then moves the narrow [rows, HC]
+                # epilogue output instead of the wide [rows, WP]
+                # aggregate, and the epilogue compute divides by the
+                # mesh size instead of replicating.
+                from allset_tpu.parallel.sharded import sharded_pma_epilogue
+
+                g0, b0 = _LNParams(HC, name="ln0")()
+                Wrff, brff = _MLPParams(HC, self.out_dim,
+                                        self.num_layers, name="rFF")()
+                g1, b1 = _LNParams(self.out_dim, name="ln1")()
+                from allset_tpu.ops.pallas_pma import interpret_mode
+
+                return sharded_pma_epilogue(
+                    w, d, att_flat, g0, b0, Wrff, brff, g1, b1,
+                    heads=H, blk=1024, interpret=interpret_mode(),
+                    relu=self.fold_relu,
+                )
+
             agg = dir_spmm(w, d)  # fused gather+reduce, permute-free bwd
 
             from allset_tpu.ops.pallas_pma import (

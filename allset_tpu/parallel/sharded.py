@@ -203,7 +203,13 @@ def _build_one(dst, src, norm, canon_pos, nnz_pad_canon, num_src, num_dst,
         for d in range(D):
             a, b = int(row_cuts[d]), int(row_cuts[d + 1])
             reasm[a:b] = d * rows + np.arange(b - a, dtype=np.int32)
-            dist_idx[d] = np.minimum(a + np.arange(rows), num_dst - 1)
+            # padded block rows carry the SENTINEL num_dst (not a clipped
+            # duplicate of a real row): consumers append one zero/ignore
+            # row so padded rows read zeros — required by the fused
+            # epilogue bwd, whose param-grad accumulators would otherwise
+            # see a duplicated real cotangent on every shard's pad tail
+            idx = a + np.arange(rows)
+            dist_idx[d] = np.where(idx < b, idx, num_dst).astype(np.int32)
     num_dst_padded = rows * D
     max_e = int((cuts[1:] - cuts[:-1]).max()) if nnz else 0
     nnz_pad = pad_for_kernel(max(max_e, 1), chunk)
@@ -460,6 +466,10 @@ def _sharded_core_bwd(meta, res, g):
      (num_dst, num_dst_padded, mesh), axis, norm_grad) = meta
     gb = g.astype(dtok.dtype)
     if sd.dist_idx is not None:  # balanced cuts: global rows -> blocks
+        # dist_idx pads with the sentinel num_dst -> the appended zero row
+        gb = jnp.concatenate(
+            [gb, jnp.zeros((1, gb.shape[1]), gb.dtype)], axis=0
+        )
         gb = jnp.take(gb, sd.dist_idx.reshape(-1), axis=0, mode="clip")
     else:
         pad = num_dst_padded - num_dst
@@ -525,8 +535,290 @@ def sharded_segment_max(w, sd, norm_mode, norm_c):
     return out[: sd.num_dst]
 
 
+# --- fused sharded spmm + PMA epilogue --------------------------------------
+#
+# In the replicated composition (sharded_spmm -> pma_epilogue) every chip
+# all-gathers the WIDE [rows, WP] aggregate and runs the row-local PMA
+# epilogue REPLICATED — at bench scale that is ~3 ms/step of fwd+bwd
+# compute (BENCH_ROOFLINE.json "fused_epilogue") that does NOT divide by
+# D. The epilogue is strictly row-local (divide + seed + LN + rFF + LN),
+# so it COMMUTES with the reassembly all-gather: this op runs it per
+# shard on the chip's own dst block — self-loop rows included, sliced
+# evenly across chips — and all-gathers only the NARROW [rows, HC]
+# epilogue output:
+#
+#   * fwd collective payload per direction drops from D*rows*WP to
+#     (D*rows + N_sl)*HC (WP = HC + H + lane pad: 384 vs 256 at bench
+#     shapes), still exactly ONE all-gather;
+#   * epilogue fwd+bwd compute divides by D instead of replicating;
+#   * backward adds ONE psum of the epilogue parameter grads
+#     ([L, HC, HC] + [8, HC] f32, ~0.5 MB — negligible) per direction.
+#     The V2E 'append' self-loop rows' dw rides the EXISTING dw psum
+#     (self-loop slots are source-row-aligned: zero extra bytes); the
+#     E2V 'add' mode all-gathers the per-shard d_sl blocks
+#     ([D*rows, WP]) since the sl contribution lands pre-epilogue.
+#
+# Used by PMA (nn/modules.py) when sharded_epilogue_active() says the
+# shapes/platform support the kernel; CPU-mesh tests cover it via
+# ALLSET_PMA_EPILOGUE=interpret (tests/test_sharded_epilogue.py).
+
+
+def sharded_epilogue_active(sd: ShardedDirection, hid_dim: int, heads: int,
+                            num_layers: int, out_dim: int) -> bool:
+    """Mirror of ops.pallas_pma.epilogue_active for ShardedDirections:
+    the single-device gate is lifted (each shard runs its own kernel
+    inside shard_map) and the platform comes from the MESH's devices."""
+    from allset_tpu.ops.pallas_pma import interpret_mode
+
+    shapes_ok = (
+        hid_dim % 128 == 0
+        and out_dim == hid_dim
+        and num_layers in (1, 2)
+        and heads >= 1
+    )
+    if not shapes_ok:
+        return False
+    if interpret_mode():
+        return True
+    return sd.mesh.devices.flat[0].platform in ("tpu", "axon")
+
+
+def _local_epi_fwd(st, seed, g0, b0, Wrff, brff, g1, b1, w_core, sl_tab,
+                   sl_scale, src, dst_local, indptr, dist):
+    (H, blk, interpret, relu, rows, rows_sl, sl, has_dist,
+     s_blk, chunk, num_src, num_dst, mesh, axis) = st
+    from allset_tpu.ops.pallas_pma import _epi_fwd_p
+
+    msgs = jnp.take(w_core, src[0], axis=0, mode="clip")
+    part = _sorted_sum(msgs, dst_local[0], indptr[0], rows, rows,
+                       _shard_view(s_blk, chunk, mesh))
+    if sl == "add":
+        # self-loop contribution lands on the shard's OWN dst rows, so it
+        # must add in before the epilogue; sentinel/pad rows add clipped
+        # garbage that the reassembly drops (their gy is zeroed in bwd)
+        ids = (dist[0] if has_dist
+               else jax.lax.axis_index(axis) * rows + jnp.arange(rows))
+        idc = jnp.minimum(ids, num_dst - 1)
+        contrib = (jnp.take(sl_tab, idc, axis=0).astype(jnp.float32)
+                   * jnp.take(sl_scale, idc)[:, None])
+        agg = part + contrib.astype(part.dtype)
+    elif sl == "append":
+        # self-loop slots (one per source node) sliced evenly across the
+        # chips: rows [k*rows_sl, (k+1)*rows_sl) of the source table
+        ids = jax.lax.axis_index(axis) * rows_sl + jnp.arange(rows_sl)
+        slrows = jnp.take(sl_tab, jnp.minimum(ids, num_src - 1), axis=0)
+        agg = jnp.concatenate([part, slrows.astype(part.dtype)], axis=0)
+    else:
+        agg = part
+    y = _epi_fwd_p.bind(agg, seed, g0, b0, Wrff, brff, g1, b1,
+                        H=H, blk=blk, interpret=interpret, relu=relu)
+    return jax.lax.all_gather(y, axis, axis=0, tiled=True), agg
+
+
+def _spmm_epi_impl(meta, w, seed, g0, b0, Wrff, brff, g1, b1, sd):
+    H, blk, interpret, relu = meta
+    HC = seed.shape[-1]
+    D = sd.num_shards
+    rows = sd.rows_per_shard
+    sl = sd.sl_mode
+    rows_sl = -(-sd.num_src // D) if sl == "append" else 0
+    # pin the op boundary replicated: without the constraint GSPMD is
+    # free to reshard the packed source table (and the slices feeding the
+    # shard_map) through dynamic-slice/all-gather round trips — pure wire
+    # waste; the census test asserts they are gone
+    from jax.sharding import NamedSharding
+
+    w = jax.lax.with_sharding_constraint(w, NamedSharding(sd.mesh, P()))
+    if sl == "add":
+        w_core, sl_tab = w[: sd.num_src], w[sd.num_src :]
+        sl_scale = sd.sl_mask  # PMA is norm-free: mask zeroes hole rows
+    elif sl == "append":
+        w_core, sl_tab = w, w  # slots are identity rows of the source
+        sl_scale = jnp.zeros((1,), jnp.float32)
+    else:
+        w_core = w
+        sl_tab = jnp.zeros((1, w.shape[1]), w.dtype)
+        sl_scale = jnp.zeros((1,), jnp.float32)
+    has_dist = sd.dist_idx is not None
+    dist = sd.dist_idx if has_dist else jnp.zeros((D, 1), jnp.int32)
+    st = (H, blk, interpret, relu, rows, rows_sl, sl, has_dist,
+          sd.s_blk, sd.chunk, sd.num_src, sd.num_dst, sd.mesh, sd.axis)
+    A = sd.axis
+    f = jax.shard_map(
+        functools.partial(_local_epi_fwd, st),
+        mesh=sd.mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(),
+                  P(), P(), P(),
+                  P(A), P(A), P(A), P(A)),
+        out_specs=(P(), P(A)),  # y replicated by the body's all-gather
+        check_vma=False,
+    )
+    y_all, agg_blocks = f(seed, g0, b0, Wrff, brff, g1, b1,
+                          w_core, sl_tab, sl_scale,
+                          sd.src, sd.dst_local, sd.block_indptr, dist)
+    rows_tot = rows + rows_sl
+    ya = y_all.reshape(D, rows_tot, HC)
+    core = ya[:, :rows].reshape(D * rows, HC)
+    if sd.reasm is not None:
+        core = jnp.take(core, sd.reasm, axis=0, mode="clip")
+    out = core[: sd.num_dst]
+    if sl == "append":
+        slp = ya[:, rows:].reshape(D * rows_sl, HC)[: sd.num_src]
+        out = jnp.concatenate([out, slp], axis=0)
+    out = jax.lax.with_sharding_constraint(
+        out, NamedSharding(sd.mesh, P())
+    )
+    return out, agg_blocks
+
+
+def _local_epi_bwd(st, agg, gext, gslext, seed, g0, b0, Wrff, brff, g1, b1,
+                   sl_scale, dst_srcsort_local, src_sorted, src_indptr,
+                   dist):
+    (H, blk, interpret, relu, rows, rows_sl, sl, has_dist, s_blk, chunk,
+     num_src, num_src_padded, num_dst, mesh, axis, D) = st
+    from allset_tpu.ops.pallas_pma import _epi_bwd_p
+
+    # distribute the output cotangent IN-SHARD from the replicated
+    # sentinel-extended arrays (last row zero): local gathers, no
+    # collective, and no partitioner freedom at the shard_map boundary
+    k = jax.lax.axis_index(axis)
+    ids = (dist[0] if has_dist
+           else jnp.minimum(k * rows + jnp.arange(rows), num_dst))
+    gcb = jnp.take(gext, jnp.minimum(ids, num_dst), axis=0, mode="clip")
+    if sl == "append":
+        ids_sl = jnp.minimum(k * rows_sl + jnp.arange(rows_sl), num_src)
+        gsb = jnp.take(gslext, ids_sl, axis=0, mode="clip")
+        gy = jnp.concatenate([gcb, gsb], axis=0)
+    else:
+        gy = gcb
+    dagg, dW, dsmall = _epi_bwd_p.bind(
+        agg, gy, seed, g0, b0, Wrff, brff, g1, b1,
+        H=H, blk=blk, interpret=interpret, relu=relu,
+    )
+    # pad/sentinel rows carry gy == 0, so their dagg rows and param-grad
+    # contributions are exactly zero — safe to accumulate
+    dWs, dss = jax.lax.psum((dW, dsmall), axis)
+    dagg_core = dagg[:rows]
+    rows_g = jnp.take(dagg_core, dst_srcsort_local[0], axis=0, mode="clip")
+    part = _sorted_sum(rows_g, src_sorted[0], src_indptr[0], num_src,
+                       num_src_padded, _shard_view(s_blk, chunk, mesh))
+    if sl == "append":
+        # self-loop slots are source-row-aligned: scatter this shard's
+        # d_sl slice into the dw partial so it rides the existing psum
+        d_sl = dagg[rows:]
+        offset = jax.lax.axis_index(axis) * rows_sl
+        prow = max(num_src, D * rows_sl)
+        extra = jnp.zeros((prow, dagg.shape[1]), part.dtype)
+        extra = jax.lax.dynamic_update_slice(
+            extra, d_sl.astype(part.dtype), (offset, 0)
+        )
+        part = part + extra[:num_src]
+        dw = jax.lax.psum(part, axis)
+        dslg = jnp.zeros((1, 1), part.dtype)
+    elif sl == "add":
+        ids = (dist[0] if has_dist
+               else jax.lax.axis_index(axis) * rows + jnp.arange(rows))
+        idc = jnp.minimum(ids, num_dst - 1)
+        scale = jnp.take(sl_scale, idc)[:, None]
+        d_sl = (dagg_core.astype(jnp.float32) * scale).astype(part.dtype)
+        dw = jax.lax.psum(part, axis)
+        dslg = jax.lax.all_gather(d_sl, axis, axis=0, tiled=True)
+    else:
+        dw = jax.lax.psum(part, axis)
+        dslg = jnp.zeros((1, 1), part.dtype)
+    return dw, dWs, dss, dslg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_epi(meta, w, seed, g0, b0, Wrff, brff, g1, b1, sd):
+    out, _ = _spmm_epi_impl(meta, w, seed, g0, b0, Wrff, brff, g1, b1, sd)
+    return out
+
+
+def _spmm_epi_fwdrule(meta, w, seed, g0, b0, Wrff, brff, g1, b1, sd):
+    out, agg_blocks = _spmm_epi_impl(
+        meta, w, seed, g0, b0, Wrff, brff, g1, b1, sd
+    )
+    res = (seed, g0, b0, Wrff, brff, g1, b1, sd, agg_blocks,
+           jnp.zeros((0,), w.dtype))
+    return out, res
+
+
+def _spmm_epi_bwdrule(meta, res, g):
+    H, blk, interpret, relu = meta
+    seed, g0, b0, Wrff, brff, g1, b1, sd, agg_blocks, dtok = res
+    HC = seed.shape[-1]
+    L = Wrff.shape[0]
+    D = sd.num_shards
+    rows = sd.rows_per_shard
+    sl = sd.sl_mode
+    rows_sl = -(-sd.num_src // D) if sl == "append" else 0
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(sd.mesh, P())
+    g = jax.lax.with_sharding_constraint(g.astype(dtok.dtype), rep)
+    # sentinel-extended cotangent views (last row zero); the per-shard
+    # distribution happens INSIDE the shard_map body — local gathers only
+    zrow = jnp.zeros((1, HC), g.dtype)
+    gext = jnp.concatenate([g[: sd.num_dst], zrow], axis=0)
+    gslext = (jnp.concatenate([g[sd.num_dst :], zrow], axis=0)
+              if sl == "append" else zrow)
+    sl_scale = sd.sl_mask if sl == "add" else jnp.zeros((1,), jnp.float32)
+    has_dist = sd.dist_idx is not None
+    dist = sd.dist_idx if has_dist else jnp.zeros((D, 1), jnp.int32)
+    st = (H, blk, interpret, relu, rows, rows_sl, sl, has_dist,
+          sd.s_blk, sd.chunk, sd.num_src, sd.num_src_padded, sd.num_dst,
+          sd.mesh, sd.axis, D)
+    A = sd.axis
+    bwd = jax.shard_map(
+        functools.partial(_local_epi_bwd, st),
+        mesh=sd.mesh,
+        in_specs=(P(A), P(), P(),
+                  P(), P(), P(), P(), P(), P(), P(), P(),
+                  P(A), P(A), P(A), P(A)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    dw, dWs, dss, dslg = bwd(
+        agg_blocks, gext, gslext, seed, g0, b0, Wrff, brff, g1, b1,
+        sl_scale, sd.dst_srcsort_local, sd.src_sorted,
+        sd.src_block_indptr, dist,
+    )
+    if sl == "add":
+        if sd.reasm is not None:
+            dslg = jnp.take(dslg, sd.reasm, axis=0, mode="clip")
+        dw = jnp.concatenate([dw, dslg[: sd.num_dst]], axis=0)
+    dw = jax.lax.with_sharding_constraint(dw, rep)
+    dseed, dg0, db0, dg1, db1 = (dss[k] for k in range(5))
+    dbrff = dss[5 : 5 + L]
+    return (dw.astype(dtok.dtype), dseed.astype(seed.dtype), dg0, db0,
+            dWs, dbrff, dg1, db1, None)
+
+
+_spmm_epi.defvjp(_spmm_epi_fwdrule, _spmm_epi_bwdrule)
+
+
+def sharded_pma_epilogue(w, sd: ShardedDirection, seed, g0, b0, Wrff, brff,
+                         g1, b1, *, heads: int, blk: int = 1024,
+                         interpret: bool = False,
+                         relu: bool = False) -> Array:
+    """Edge-partitioned PMA aggregation + fused epilogue in ONE op:
+    out = LN1(z + relu(rFF(z))), z = LN0(agg_vals / denom + seed), where
+    agg is the unweighted gather->reduce of the packed [values | denom]
+    table ``w`` over ``sd`` (reference math ``src/layers.py:128-157``).
+    Equivalent to ``pma_epilogue(dir_spmm(w, sd))`` but the epilogue runs
+    PER SHARD before the reassembly all-gather — see the section comment
+    for the collective/compute accounting. Returns the replicated
+    [num_dst_total, HC] output (self-loop rows appended in 'append'
+    mode, matching dir_spmm's layout)."""
+    return _spmm_epi((heads, blk, interpret, relu), w, seed, g0, b0,
+                     Wrff, brff, g1, b1, sd)
+
+
 def sharded_comm_stats(shex: "ShardedExchange", width: int,
-                       itemsize: int = 4, learn_mask: bool = False) -> dict:
+                       itemsize: int = 4, learn_mask: bool = False,
+                       epilogue_hc: int | None = None,
+                       epilogue_layers: int = 2) -> dict:
     """Communication accounting for one fwd+bwd pass over both directions
     of an edge-partitioned exchange (the module docstring's claims,
     quantified; structurally enforced on the compiled HLO by
@@ -541,17 +833,37 @@ def sharded_comm_stats(shex: "ShardedExchange", width: int,
         ``dw [num_src, width]``, plus (LearnMask) one psum of the
         canonical-order ``dnorm [nnz_pad_canon]`` per direction.
 
+    With ``epilogue_hc`` set (the fused sharded spmm+epilogue path,
+    ``sharded_pma_epilogue``; tests/test_sharded_epilogue.py pins this
+    census): the fwd all-gather narrows to the [*, epilogue_hc] epilogue
+    output — PLUS the self-loop slot blocks in 'append' mode — the bwd
+    adds one param-grad psum per direction ([L, HC, HC] + [8, HC] f32),
+    and 'add' mode adds one d_sl all-gather of [D*rows, width]
+    (``bwd_ag_bytes``, ring-costed like an all-gather).
+
     ``fwd_bytes``/``bwd_bytes`` are collective PAYLOAD bytes; multiply by
     the ring factors above for per-chip wire traffic (scripts/
     scaling_report.py does).
     """
     out = {"reassembly_fwd": 0, "psums_bwd": 0,
-           "fwd_bytes": 0, "bwd_bytes": 0}
+           "fwd_bytes": 0, "bwd_bytes": 0, "bwd_ag_bytes": 0}
     for sd in (shex.v2e, shex.e2v):
+        rows_tot = sd.rows_per_shard * sd.num_shards
         out["reassembly_fwd"] += 1
-        out["fwd_bytes"] += (
-            sd.rows_per_shard * sd.num_shards * width * itemsize
-        )
+        if epilogue_hc is not None:
+            if sd.sl_mode == "append":
+                rows_tot += -(-sd.num_src // sd.num_shards) * sd.num_shards
+            out["fwd_bytes"] += rows_tot * epilogue_hc * itemsize
+            out["psums_bwd"] += 1  # fused param-grad psum
+            out["bwd_bytes"] += (
+                epilogue_layers * epilogue_hc * epilogue_hc + 8 * epilogue_hc
+            ) * 4
+            if sd.sl_mode == "add":
+                out["bwd_ag_bytes"] += (
+                    sd.rows_per_shard * sd.num_shards * width * itemsize
+                )
+        else:
+            out["fwd_bytes"] += rows_tot * width * itemsize
         out["psums_bwd"] += 1
         out["bwd_bytes"] += sd.num_src * width * itemsize
         if learn_mask:

@@ -88,6 +88,17 @@ def main():
         "fused PMA epilogue inactive at flagship shapes — smoke would "
         "not cover the kernel"
     )
+    # sharded-epilogue setup for leg 3b2 (r5 second half): a D=1
+    # ShardedExchange routes the flagship through the fused sharded
+    # spmm+epilogue (parallel/sharded.sharded_pma_epilogue)
+    import dataclasses as _dc
+    from allset_tpu.parallel.sharded import sharded_epilogue_active
+
+    shexS = ShardedExchange.build(batch.inc, mesh).shard()
+    assert sharded_epilogue_active(shexS.v2e, 256, 8, 2, 256), (
+        "fused SHARDED epilogue inactive at flagship shapes"
+    )
+    batch_sh = _dc.replace(batch, shex=shexS)
     for dt in ("bfloat16", "float32"):
         cfgF = SetGNNConfig(num_features=64, num_classes=4,
                             all_num_layers=2, mlp_hidden=256,
@@ -104,6 +115,20 @@ def main():
                    for l in leaves), f"non-finite grads ({dt})"
         print(f"[ok] flagship fused-epilogue step ({dt}), "
               f"loss={float(lossF):.3f}")
+
+        # 3b2) fused SHARDED spmm+epilogue: the same step through the
+        # D=1 ShardedExchange compiles the per-shard epilogue kernels
+        # INSIDE shard_map on the chip; must match the single-chip path
+        lossS, gS = jax.jit(jax.value_and_grad(
+            lambda p: (modelF.apply(p, batch_sh, False).astype(jnp.float32) ** 2).sum()
+        ))(vF)
+        relS = abs(float(lossS) - float(lossF)) / max(abs(float(lossF)), 1e-9)
+        assert relS < 2e-2, f"sharded epilogue diverged ({dt}): {relS:.2e}"
+        assert all(bool(jnp.isfinite(l.astype(jnp.float32)).all())
+                   for l in jax.tree_util.tree_leaves(gS)), (
+            f"non-finite sharded-epilogue grads ({dt})"
+        )
+        print(f"[ok] fused sharded epilogue ({dt}), rel-diff {relS:.1e}")
 
     # 3c) bucketed-exchange leg (VERDICT r4 #6): force bucket_rows below
     # this graph's table sizes so ops/bucketed.py COMPILES on the chip —
