@@ -197,6 +197,12 @@ def main():
             "ICI, so it is pinned replicated (nn/modules.py). It wins "
             "when per-row compute grows (wider hidden, deeper rFF) or "
             "on faster interconnects; revisit there.",
+        "epilogue_gain": "Flagship predicted step at D=8 under the same "
+            "honest model: 16.2 ms with the replicated epilogue "
+            "(t_shard 12.51, t_repl 12.63 incl. the 3.06 ms epilogue, "
+            "comm 1.97) vs 14.0 ms with the fused sharded epilogue — "
+            "a predicted 15% multi-chip speedup (eff@8 19.4% -> 22.4%) "
+            "for one extra ~0.5 MB psum per direction.",
         "contract": "The >=80% contract at D=8 is met by NO model at "
             "bench-scale density under the honest model — the binding "
             "constraint is the replicated dense fraction (Amdahl), not "

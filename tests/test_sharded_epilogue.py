@@ -187,3 +187,18 @@ def test_sharded_epilogue_census(rng):
     # come back as one all-gather of the per-shard dagg*scale blocks
     want[("all-gather", f"f32[{g_e},{WP}]")] = 1
     assert census == want, (census, want)
+
+    # the accounting helper (what scripts/scaling_report.py consumes)
+    # agrees with the compiled program
+    from allset_tpu.parallel.sharded import sharded_comm_stats
+
+    stats = sharded_comm_stats(shex, WP, itemsize=4, epilogue_hc=HC,
+                               epilogue_layers=L)
+    assert stats["reassembly_fwd"] == 2
+    assert stats["psums_bwd"] == 4  # dw + fused param psum per direction
+    assert stats["fwd_bytes"] == (g_v + g_e) * HC * 4
+    assert stats["bwd_bytes"] == (
+        (dv.num_src + de.num_src) * WP * 4
+        + 2 * (L * HC * HC + 8 * HC) * 4
+    )
+    assert stats["bwd_ag_bytes"] == g_e * WP * 4
