@@ -94,10 +94,10 @@ def main():
     #     same phase structure plus the SDDMM dnorm passes (sharded).
     #   UniGCNII: BENCH_UNIGCNII_r05.json trace — 23.04/26.45 ms is the
     #     sparse exchange (sharded), dense_rest 3.41 ms replicated.
-    #   HCHA: no per-phase trace; ESTIMATE by the same bound arithmetic
-    #     (8 gathers x 452608 rows x 3.1 ns = 11.2 ms; reduces 4x231.7MB
-    #     + 4x115.9MB at the ~200 GB/s kernel cap = 6.9 ms) -> ~18.1 of
-    #     22.7 ms sharded.
+    #   HCHA: BENCH_HCHA_TRACE_r05.json (measured r5) — sharded =
+    #     reduces 10.14 + gathers 5.78 = 15.91 ms; replicated = narrow
+    #     chain + wide stream + misc = 7.43 ms (conservative: narrow
+    #     ops on nnz-shaped arrays would shard too).
     # ``widths``: exchange table width of each V2E+E2V pass. ``epi``:
     # fused sharded-epilogue output width (flagship PMA only).
     measured = {
@@ -112,8 +112,8 @@ def main():
                       "the 30.3 ms LearnMask step (estimate)"),
         "HCHA": dict(
             rate=25.65e6, nnz=nnz_fl, widths=[256, 128], shex=shex_fl,
-            lm=False, epi=None, shard_ms=18.1, repl_ms=4.6,
-            split_src="bound arithmetic (estimate; no trace)"),
+            lm=False, epi=None, shard_ms=15.91, repl_ms=7.43,
+            split_src="BENCH_HCHA_TRACE_r05.json (measured trace)"),
         "UniGCNII": dict(
             rate=17.05e6, nnz=nnz_z, widths=[256, 256], shex=shex_z,
             lm=False, epi=None, shard_ms=23.04, repl_ms=3.41,
