@@ -134,6 +134,46 @@ def test_sharded_epilogue_bf16(rng):
              frac=5e-3)
 
 
+def test_sharded_epilogue_vmapped_runs(rng):
+    """The 20-run statistical protocol vmaps over parameter replicas;
+    vmap pushes the runs axis inside the shard bodies, where the
+    epilogue primitives' runs-folding batching rules apply
+    (ops/pallas_pma.py). Vmapped == sequential, values and grads."""
+    from allset_tpu.parallel.mesh import make_mesh
+    from allset_tpu.parallel.sharded import ShardedExchange
+
+    batch = _batch(rng)
+    mesh = make_mesh(8)
+    shex = ShardedExchange.build(batch.inc, mesh).shard()
+    batch_sh = dataclasses.replace(batch, shex=shex)
+    model = _model()
+    v1 = model.init({"params": jax.random.PRNGKey(0)}, batch, False)
+    v2 = model.init({"params": jax.random.PRNGKey(1)}, batch, False)
+    vr = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), v1, v2)
+
+    def loss(v, b):
+        return jnp.sum(model.apply(v, b, False).astype(jnp.float32) ** 2)
+
+    lv, gv = jax.jit(
+        jax.vmap(jax.value_and_grad(loss), in_axes=(0, None))
+    )(vr, batch_sh)
+    l1, g1 = jax.value_and_grad(loss)(v1, batch_sh)
+    l2, g2 = jax.value_and_grad(loss)(v2, batch_sh)
+    np.testing.assert_allclose(
+        np.asarray(lv), np.asarray([l1, l2]), rtol=1e-5
+    )
+    for (p, a), b1, b2 in zip(
+        jax.tree_util.tree_leaves_with_path(gv),
+        jax.tree_util.tree_leaves(g1),
+        jax.tree_util.tree_leaves(g2),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.stack([np.asarray(b1), np.asarray(b2)]),
+            rtol=2e-4, atol=1e-5, err_msg=jax.tree_util.keystr(p),
+        )
+
+
 def test_sharded_epilogue_census(rng):
     """Collective census of the fused path on compiled HLO: the fwd
     all-gather narrows to the [*, HC] epilogue output (it was [*, WP]),
